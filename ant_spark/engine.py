@@ -1,0 +1,570 @@
+"""The crawl engine: ant's fetch-parse-enqueue loop as BSP DataFrame rounds.
+
+Reference lifecycle (``/root/reference/engine.go:137-165``): seeds are
+normalized, matcher-filtered, deduped and queued; workers dequeue, check
+robots, wait for rate limits, fetch, scrape, enqueue discovered links; the
+crawl ends when the queue's WaitGroup drains (``queue.go:94-118``).
+
+Spark-native re-expression (SURVEY.md §3.1): one engine *round* processes the
+whole eligible frontier as a DataFrame::
+
+    eligible  = frontier WHERE not_before <= round_ts
+    allowed   = eligible ⋈ robots (broadcast) WHERE robots_allowed
+    admitted  = per-host budget window (politeness)         [W1-W4]
+    fetched   = admitted LEFT JOIN pages ON url             [S2: fetch≡join]
+    parsed    = fused Arrow parse UDF (links, text, ...)    [C1-C5]
+    new       = links → normalize → matcher → first-occurrence
+                → ANTI JOIN seen                            [J1: dedupe]
+    frontier' = waiting ∪ deferred ∪ retries ∪ new(depth+1)
+    seen'     = seen ∪ new
+    commit: frontier'/seen' snapshots + fetched_log/metrics appends
+
+State snapshots are parquet directories committed atomically per round
+(tmp-write + manifest rename — the sandbox stand-in for Iceberg snapshot
+commits; reference antcache/disk.go:390-423 did tmpfile+fsync+rename for the
+same reason). A killed job resumes from the last complete round with
+identical ordering because every round is a pure function of
+(state tables, round number).
+
+Determinism: the reference is only deterministic at Workers=1
+(engine_test.go:39-48 sorts otherwise); ``ordering='bfs'`` reproduces that
+sequential FIFO order exactly via the global ``seq`` scheme;
+``ordering='partitioned'`` keeps seq assignment deterministic but windows it
+per hash-partition so no total order is ever materialized (the 10^10-scale
+mode — matches the reference's Workers>1 "any order" semantics).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+from dataclasses import dataclass, field
+from typing import Any, Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ant_spark import schemas
+from ant_spark.functions import urlnorm
+from ant_spark.functions.parse import make_parse_udf
+from ant_spark.functions.urlnorm import (
+    host_of,
+    is_queueable,
+    normalize_udf,
+    normalize_url,
+    path_of,
+    url_hash,
+)
+from ant_spark.operators import politeness, robots as robots_ops
+from ant_spark.operators.dedupe import BloomSidecar, exact_new, first_occurrence
+
+
+class CrawlError(RuntimeError):
+    """Raised in strict mode on permanent fetch errors — the reference
+    aborts the whole crawl via errgroup on any process error
+    (engine.go:236-241, engine_test.go:67-77)."""
+
+
+@dataclass
+class CrawlConfig:
+    ua: str = "antbot"  # reference default UA (fetcher.go:25)
+    matcher: Callable | None = None  # Column-predicate builder (matchers.py)
+    round_seconds: float = 1.0  # logical round duration (politeness clock)
+    default_host_budget: int = 1 << 30  # per-host rows/round when unlimited
+    host_rates: dict[str, int] = field(default_factory=dict)  # LimitHostname
+    global_rate: int | None = None  # Limit(n) — global rows/round
+    max_attempts: int = 5  # fetcher.go:100-104 default
+    min_backoff_ms: int = 50  # fetcher.go minBackoff
+    max_backoff_ms: int = 1000  # fetcher.go maxBackoff
+    max_rounds: int | None = None
+    max_depth: int | None = None
+    dedupe: str = "exact"  # exact | bloom_prefilter | bloom_drop
+    ordering: str = "bfs"  # bfs | partitioned
+    seq_partitions: int = 32  # partitioned-ordering hash fan-out
+    politeness_salt: int = 8  # skew salting for the budget window
+    scrape_spec: dict[str, Any] | None = None
+    strict: bool = False  # raise CrawlError on permanent errors
+    checkpoint_dir: str | None = None  # resumable state root (None → temp)
+    bloom_buckets: int = 32
+    bloom_bits: int = 1 << 21
+
+
+@dataclass
+class CrawlResult:
+    rounds: int
+    pages_fetched: int
+    urls_enqueued: int
+    fetched_log: DataFrame
+    metrics: DataFrame
+    extracted: DataFrame | None
+    state_dir: str
+
+
+def _backoff_ms(attempt_col, min_ms: int, max_ms: int):
+    """Quadratic backoff, capped (fetcher.go:248-270: dur=attempt²·min)."""
+    return F.least(
+        (attempt_col * attempt_col * F.lit(min_ms)).cast("long"), F.lit(max_ms)
+    )
+
+
+class Engine:
+    """Crawl over a simulated web (the ``pages`` table) — reference Engine.
+
+    ``pages_df`` plays the network: fetch is a left equi-join on ``url``
+    (SURVEY.md §2.1 S2). A missing row is a 404 (consumed silently,
+    fetcher.go:157-161); ``status=503`` rows are temporary failures until
+    ``attempt >= ok_after_attempt`` (fetcher.go:63-69 retry semantics, with
+    the wall-clock backoff re-expressed as the ``not_before`` column).
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        pages_df: DataFrame,
+        robots_df: DataFrame | None,
+        cfg: CrawlConfig | None = None,
+    ):
+        self.spark = spark
+        self.cfg = cfg or CrawlConfig()
+        self.pages = pages_df
+        if robots_df is None:
+            robots_df = spark.createDataFrame([], schemas.ROBOTS)
+        self.robots = robots_df
+        self._parse_udf = make_parse_udf(self.cfg.scrape_spec)
+        self._bloom = (
+            BloomSidecar(self.cfg.bloom_buckets, self.cfg.bloom_bits)
+            if self.cfg.dedupe in ("bloom_prefilter", "bloom_drop")
+            else None
+        )
+
+    # ------------------------------------------------------------------
+    # state management (parquet snapshot per round + manifest commit)
+
+    def _init_dirs(self) -> str:
+        d = self.cfg.checkpoint_dir or tempfile.mkdtemp(prefix="ant_spark_")
+        os.makedirs(d, exist_ok=True)
+        return d
+
+    def _round_dir(self, root: str, r: int) -> str:
+        return os.path.join(root, f"round={r:05d}")
+
+    def _commit_round(self, root: str, r: int, manifest: dict) -> None:
+        tmp = os.path.join(self._round_dir(root, r), "_manifest.tmp")
+        final = os.path.join(self._round_dir(root, r), "MANIFEST.json")
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.rename(tmp, final)  # atomic commit (disk.go:390-423 analogue)
+
+    def latest_round(self, root: str) -> tuple[int, dict] | None:
+        best = None
+        if not os.path.isdir(root):
+            return None
+        for name in os.listdir(root):
+            if name.startswith("round="):
+                mf = os.path.join(root, name, "MANIFEST.json")
+                if os.path.exists(mf):
+                    r = int(name.split("=")[1])
+                    if best is None or r > best[0]:
+                        with open(mf) as f:
+                            best = (r, json.load(f))
+        return best
+
+    def _write_state(self, root: str, r: int, name: str, df: DataFrame, n_parts: int | None = None) -> DataFrame:
+        path = os.path.join(self._round_dir(root, r), name)
+        w = df
+        if n_parts:
+            # bucket frontier/seen by url_hash: at cluster scale this becomes
+            # Iceberg bucket partitioning → storage-partitioned anti-join
+            w = df.repartition(n_parts, "url_hash")
+        w.write.mode("overwrite").parquet(path)
+        return self.spark.read.parquet(path)
+
+    # ------------------------------------------------------------------
+
+    def seed_frontier(self, seeds: list[str]) -> "pd.DataFrame":
+        """Normalize + scheme-check seeds (engine.go:174-193: invalid seeds
+        are a hard error, non-http(s) schemes are rejected)."""
+        import pandas as pd
+
+        rows = []
+        seen_local: set[str] = set()
+        seq = 0
+        for raw in seeds:
+            u = normalize_url(raw)  # raises ValueError like engine.Enqueue
+            scheme = u.split("://", 1)[0] if "://" in u else ""
+            if scheme not in ("http", "https"):
+                raise ValueError(f"ant_spark: invalid seed scheme: {raw!r}")
+            if u in seen_local:
+                continue
+            seen_local.add(u)
+            rows.append(
+                {
+                    "url": u,
+                    "host": u.split("://", 1)[1].split("/", 1)[0],
+                    "depth": 0,
+                    "seq": seq,
+                    "priority": 0.0,
+                    "attempt": 1,
+                    "not_before": 0,
+                }
+            )
+            seq += 1
+        return pd.DataFrame(
+            rows,
+            columns=["url", "host", "depth", "seq", "priority", "attempt", "not_before"],
+        )
+
+    def run(self, seeds: list[str], resume: bool = False) -> CrawlResult:
+        cfg = self.cfg
+        spark = self.spark
+        root = self._init_dirs()
+
+        pages = self.pages.select(
+            F.col("url").alias("_p_url"),
+            "warc_ts",
+            "html",
+            F.col("status").alias("_p_status"),
+            "ok_after_attempt",
+        )
+
+        start = self.latest_round(root) if resume else None
+        if start is not None:
+            r0, manifest = start
+            frontier = spark.read.parquet(os.path.join(self._round_dir(root, r0), "frontier"))
+            seen_paths = [os.path.join(root, p) for p in manifest["seen_paths"]]
+            next_seq = manifest["next_seq"]
+            total_fetched = manifest["total_fetched"]
+            total_enqueued = manifest["total_enqueued"]
+            frontier_count = manifest["frontier_count"]
+            r = r0 + 1
+            bloom_state = (
+                spark.read.parquet(os.path.join(self._round_dir(root, r0), "bloom"))
+                if self._bloom
+                else None
+            )
+        else:
+            seed_pdf = self.seed_frontier(seeds)
+            frontier = spark.createDataFrame(seed_pdf, schema=(
+                "url string, host string, depth int, seq long, priority double, "
+                "attempt int, not_before long"
+            )).withColumn("url_hash", url_hash(F.col("url"))).select(
+                "url", "url_hash", "host", "depth", "seq", "priority", "attempt", "not_before"
+            )
+            if cfg.matcher is not None:
+                # matcher runs BEFORE dedupe/enqueue (engine.go:201,338-349)
+                frontier = frontier.filter(cfg.matcher(F.col("url")))
+            frontier = self._write_state(root, 0, "frontier", frontier)
+            seen0 = self._write_state(
+                root, 0, "seen_delta",
+                frontier.select("url_hash", "url", F.lit(0).alias("round")),
+            )
+            seen_paths = [os.path.join(self._round_dir(root, 0), "seen_delta")]
+            next_seq = int(frontier.count())
+            frontier_count = next_seq
+            total_fetched = 0
+            total_enqueued = next_seq
+            r = 0
+            bloom_state = None
+            if self._bloom:
+                bloom_state = self._bloom.add(frontier, self._bloom.empty_state(spark))
+                bloom_state = self._write_state(root, 0, "bloom", bloom_state)
+
+        metric_rows: list[tuple] = []
+        rounds_run = 0
+
+        while True:
+            if frontier_count == 0:
+                break  # queue.Wait() returned — crawl complete
+            if cfg.max_rounds is not None and rounds_run >= cfg.max_rounds:
+                break
+            round_ts = int(r * cfg.round_seconds * 1000)
+            seen = spark.read.parquet(*seen_paths)
+
+            eligible = frontier.filter(F.col("not_before") <= round_ts)
+            waiting = frontier.filter(F.col("not_before") > round_ts)
+
+            # robots (broadcast join + vectorized allow test) ------------
+            rb = robots_ops.with_robots(
+                eligible, self.robots, cfg.ua, path_of(F.col("url"))
+            )
+            allowed = rb.filter(F.col("robots_allowed")).drop("robots_allowed")
+            denied = rb.filter(~F.col("robots_allowed"))
+
+            # politeness budget window -----------------------------------
+            budget = politeness.host_budget_expr(
+                cfg.round_seconds,
+                cfg.default_host_budget,
+                F.col("crawl_delay"),
+                cfg.host_rates or None,
+            )
+            admitted, deferred = politeness.split_by_budget(
+                allowed.withColumn("_b", budget),
+                F.col("_b"),
+                order_cols=["seq"],
+                salt=cfg.politeness_salt,
+            )
+            admitted = admitted.drop("_b", "crawl_delay")
+            deferred = deferred.drop("_b", "crawl_delay").select(*frontier.columns)
+            if cfg.global_rate is not None:
+                admitted, deferred2 = politeness.global_limit(
+                    admitted, int(cfg.global_rate * cfg.round_seconds), ["seq"]
+                )
+                deferred = deferred.unionByName(deferred2.select(*frontier.columns))
+
+            # fetch = left equi-join against the page universe ------------
+            fetched = admitted.join(pages, admitted["url"] == pages["_p_url"], "left")
+            # temporary statuses (fetcher.go:63-69) recover once attempt
+            # reaches ok_after_attempt; other ≥400 statuses are permanent.
+            status_eff = (
+                F.when(F.col("_p_url").isNull(), F.lit(404))
+                .when(
+                    F.col("_p_status").isin(503, 504, 429)
+                    & (F.col("attempt") < F.coalesce(F.col("ok_after_attempt"), F.lit(1 << 30))),
+                    F.col("_p_status"),
+                )
+                .when(
+                    (F.col("_p_status") >= 400) & ~F.col("_p_status").isin(503, 504, 429),
+                    F.col("_p_status"),
+                )
+                .otherwise(F.lit(200))
+            )
+            fetched = fetched.withColumn("status_eff", status_eff).persist()
+
+            ok = fetched.filter(F.col("status_eff") == 200)
+            missing = fetched.filter(F.col("status_eff") == 404)  # consumed
+            temp_fail = fetched.filter(F.col("status_eff").isin(503, 504, 429))
+            perm_fail = fetched.filter(
+                (F.col("status_eff") >= 400)
+                & ~F.col("status_eff").isin(404, 503, 504, 429)
+            )
+            retry = (
+                temp_fail.filter(F.col("attempt") + 1 <= cfg.max_attempts)
+                .select(
+                    "url", "url_hash", "host", "depth", "seq", "priority",
+                    (F.col("attempt") + 1).alias("attempt"),
+                    (F.lit(round_ts) + _backoff_ms(F.col("attempt"), cfg.min_backoff_ms, cfg.max_backoff_ms)).alias("not_before"),
+                )
+            )
+            dead = temp_fail.filter(F.col("attempt") + 1 > cfg.max_attempts)
+
+            # fused parse (links + text + title + scrape) -----------------
+            parsed = ok.withColumn(
+                "parsed", self._parse_udf(F.col("url"), F.col("html"))
+            ).persist()
+
+            log_df = parsed.select(
+                "url", "url_hash", "host", "depth", "seq",
+                F.lit(r).alias("round"),
+                F.col("status_eff").alias("status"),
+                "warc_ts",
+                F.size("parsed.links").alias("n_links"),
+                F.col("parsed.text").alias("text"),
+                F.lit("en").alias("lang"),
+            )
+            if cfg.scrape_spec:
+                extracted_df = parsed.select(
+                    "url", "seq", F.lit(r).alias("round"),
+                    F.col("parsed.scraped").alias("data"),
+                )
+
+            # link expansion → normalize → matcher → dedupe --------------
+            links = (
+                parsed.select(
+                    F.col("seq").alias("parent_seq"),
+                    F.col("depth").alias("parent_depth"),
+                    F.posexplode("parsed.links").alias("link_idx", "raw_url"),
+                )
+                .withColumn("url", normalize_udf(F.col("raw_url")))
+                .filter(F.col("url").isNotNull() & is_queueable(F.col("url")))
+            )
+            if cfg.matcher is not None:
+                links = links.filter(cfg.matcher(F.col("url")))
+            if cfg.max_depth is not None:
+                links = links.filter(F.col("parent_depth") + 1 <= cfg.max_depth)
+            links = links.withColumn("url_hash", url_hash(F.col("url")))
+            links = first_occurrence(links, "url_hash", ["parent_seq", "link_idx"])
+
+            if cfg.dedupe == "exact" or self._bloom is None:
+                new_links = exact_new(links, seen)
+            else:
+                tested = self._bloom.test(links.select("url_hash"), bloom_state)
+                links_t = links.join(tested, "url_hash", "left")
+                if cfg.dedupe == "bloom_drop":
+                    # reference DedupeBF parity: false positives drop forever
+                    new_links = links_t.filter(~F.coalesce(F.col("maybe_seen"), F.lit(False))).drop("maybe_seen")
+                else:  # bloom_prefilter: exact check only for maybe-seen
+                    sure_new = links_t.filter(~F.coalesce(F.col("maybe_seen"), F.lit(False))).drop("maybe_seen")
+                    maybe = links_t.filter(F.coalesce(F.col("maybe_seen"), F.lit(False))).drop("maybe_seen")
+                    new_links = sure_new.unionByName(exact_new(maybe, seen))
+
+            # deterministic seq assignment --------------------------------
+            if cfg.ordering == "bfs":
+                w = Window.orderBy("parent_seq", "link_idx")
+                new_rows = new_links.withColumn(
+                    "seq", (F.row_number().over(w) - 1 + F.lit(next_seq)).cast("long")
+                )
+            else:
+                p = F.pmod(F.col("url_hash"), F.lit(cfg.seq_partitions))
+                w = Window.partitionBy(p).orderBy("parent_seq", "link_idx")
+                new_rows = new_links.withColumn(
+                    "seq",
+                    (
+                        F.lit(next_seq)
+                        + (F.row_number().over(w).cast("long") - 1) * cfg.seq_partitions
+                        + p.cast("long")
+                    ),
+                )
+            new_rows = new_rows.select(
+                "url", "url_hash",
+                host_of(F.col("url")).alias("host"),
+                (F.col("parent_depth") + 1).alias("depth"),
+                "seq",
+                F.lit(0.0).alias("priority"),
+                F.lit(1).alias("attempt"),
+                F.lit(0).cast("long").alias("not_before"),
+            ).persist()
+
+            # ---- commit: state snapshots + log/metrics appends ----------
+            rd = self._round_dir(root, r + 1)
+            log_path = os.path.join(rd, "fetched_log")
+            log_df.write.mode("overwrite").parquet(log_path)
+            if cfg.scrape_spec:
+                extracted_df.write.mode("overwrite").parquet(os.path.join(rd, "extracted"))
+
+            new_frontier = (
+                waiting.select(*frontier.columns)
+                .unionByName(deferred.select(*frontier.columns))
+                .unionByName(retry.select(*frontier.columns))
+                .unionByName(new_rows.select(*frontier.columns))
+            )
+            frontier2 = self._write_state(root, r + 1, "frontier", new_frontier)
+            # seen is APPEND-ONLY: write only this round's delta (at cluster
+            # scale: an Iceberg append into a url_hash-bucketed table — never
+            # a rewrite of the accumulated membership set).
+            self._write_state(
+                root, r + 1, "seen_delta",
+                new_rows.select("url_hash", "url", F.lit(r + 1).alias("round")),
+            )
+            seen_paths.append(os.path.join(rd, "seen_delta"))
+            if self._bloom:
+                bloom2 = self._bloom.add(new_rows.select("url_hash"), bloom_state)
+                bloom_state = self._write_state(root, r + 1, "bloom", bloom2)
+
+            # per-partition lineage counters (north_rule) — ONE job for all
+            # stages (every input is cached or a small parquet scan).
+            pid = F.spark_partition_id().alias("partition")
+
+            def _st(df, name):
+                return df.groupBy(pid).agg(F.count("*").alias("n")).withColumn(
+                    "stage", F.lit(name)
+                )
+
+            stage_counts = (
+                _st(eligible, "eligible")
+                .unionByName(_st(waiting, "waiting"))
+                .unionByName(_st(denied, "robots_denied"))
+                .unionByName(_st(deferred, "deferred"))
+                .unionByName(_st(parsed, "fetched"))
+                .unionByName(_st(missing, "missing_404"))
+                .unionByName(_st(retry, "retried"))
+                .unionByName(_st(dead, "dead_letter"))
+                .unionByName(_st(perm_fail, "perm_error"))
+                .unionByName(_st(new_rows, "enqueued"))
+            )
+            counts = stage_counts.collect()
+            by_stage: dict[str, int] = {}
+            for row in counts:
+                by_stage[row["stage"]] = by_stage.get(row["stage"], 0) + row["n"]
+                metric_rows.append((r, row["partition"], row["stage"], row["n"]))
+
+            n_new = by_stage.get("enqueued", 0)
+            n_fetched = by_stage.get("fetched", 0)
+            if cfg.ordering == "bfs":
+                next_seq += n_new
+            else:
+                next_seq += n_new * cfg.seq_partitions  # stride-safe upper bound
+            total_fetched += n_fetched
+            total_enqueued += n_new
+            frontier_count = (
+                by_stage.get("waiting", 0)
+                + by_stage.get("deferred", 0)
+                + by_stage.get("retried", 0)
+                + n_new
+            )
+
+            self._commit_round(
+                root, r + 1,
+                {
+                    "round": r + 1,
+                    "next_seq": next_seq,
+                    "total_fetched": total_fetched,
+                    "total_enqueued": total_enqueued,
+                    "frontier_count": frontier_count,
+                    "seen_paths": [os.path.relpath(p, root) for p in seen_paths],
+                    "stages": by_stage,
+                },
+            )
+
+            fetched.unpersist()
+            parsed.unpersist()
+            new_rows.unpersist()
+            frontier = frontier2
+            r += 1
+            rounds_run += 1
+
+            if cfg.strict and by_stage.get("perm_error", 0) > 0:
+                raise CrawlError(
+                    f"permanent fetch errors in round {r - 1}: "
+                    f"{by_stage.get('perm_error')} (reference aborts the crawl)"
+                )
+
+        # include logs from pre-resume rounds so the result covers the crawl
+        all_log_dirs = sorted(
+            os.path.join(root, name, "fetched_log")
+            for name in os.listdir(root)
+            if name.startswith("round=")
+            and os.path.isdir(os.path.join(root, name, "fetched_log"))
+        )
+        fetched_log = (
+            self.spark.read.parquet(*all_log_dirs)
+            if all_log_dirs
+            else self.spark.createDataFrame([], schemas.FETCHED_LOG)
+        )
+        metrics = self.spark.createDataFrame(
+            metric_rows, schema="round int, partition int, stage string, n long"
+        )
+        extracted = None
+        if cfg.scrape_spec:
+            ex_dirs = sorted(
+                os.path.join(root, name, "extracted")
+                for name in os.listdir(root)
+                if name.startswith("round=")
+                and os.path.isdir(os.path.join(root, name, "extracted"))
+            )
+            if ex_dirs:
+                extracted = self.spark.read.parquet(*ex_dirs)
+        return CrawlResult(
+            rounds=rounds_run,
+            pages_fetched=total_fetched,
+            urls_enqueued=total_enqueued,
+            fetched_log=fetched_log,
+            metrics=metrics,
+            extracted=extracted,
+            state_dir=root,
+        )
+
+
+def fetch_one(spark: SparkSession, pages_df: DataFrame, rawurl: str) -> DataFrame:
+    """Library one-shot fetch (reference ant.Fetch, fetcher.go:72-78):
+    a single-row frontier through the fetch join + parse UDF."""
+    u = normalize_url(rawurl)
+    one = spark.createDataFrame([(u,)], "url string")
+    udf = make_parse_udf(None)
+    return (
+        one.join(pages_df, "url", "left")
+        .withColumn("parsed", udf(F.col("url"), F.col("html")))
+        .select("url", "warc_ts", "parsed.links", "parsed.text", "parsed.title")
+    )

@@ -1,0 +1,389 @@
+"""Minimal WHATWG-flavoured HTML DOM + CSS selectors on the stdlib.
+
+The reference extracts links/text through golang.org/x/net/html (a WHATWG
+HTML5 tree-construction parser) with these exact semantics:
+
+- ``scan.Text`` (reference ``internal/scan/nodes.go:27-48``): depth-first
+  concatenation of text-node data; recurses into *element* nodes only
+  (comments skipped); NO whitespace normalization; script/style text IS
+  included (they are element nodes containing text nodes).
+- ``scan.Attr`` (``nodes.go:12-24``): first attribute with the key.
+- ``Page.URLs`` (``page.go:98-100,116-139``): all ``a[href]`` in document
+  order; hrefs parsed, invalid skipped, relative resolved against the page
+  URL, then only http/https kept.
+
+No HTML library ships in this container, so this module builds a small DOM on
+``html.parser.HTMLParser`` with the tree-construction subset that matters for
+a crawl corpus: implied <html>/<head>/<body>, void elements, script/style raw
+text, character-reference decoding in text, and implied-end-tag handling for
+``p``/``li``. It is NOT a full HTML5 parser; the synthetic corpus generator
+(ant_spark.sources.webgraph) emits HTML inside this subset, and golden tests
+pin the fixture pages' extracted text.
+
+Used exclusively inside Arrow-batched pandas UDFs (functions/parse.py) —
+driver code never touches per-row HTML.
+"""
+
+from __future__ import annotations
+
+import re
+from functools import lru_cache
+from html.parser import HTMLParser
+
+TEXT = 0
+ELEMENT = 1
+COMMENT = 2
+DOCTYPE = 3
+DOCUMENT = 4
+
+VOID_ELEMENTS = frozenset(
+    "area base br col embed hr img input link meta param source track wbr".split()
+)
+# Elements whose start tag implicitly ends an open <p> (WHATWG subset).
+P_CLOSERS = frozenset(
+    "address article aside blockquote div dl fieldset footer form h1 h2 h3 h4 "
+    "h5 h6 header hr main nav ol p pre section table ul".split()
+)
+HEAD_ELEMENTS = frozenset("title meta link base style script noscript".split())
+
+
+class Node:
+    __slots__ = ("type", "tag", "attrs", "data", "children", "parent")
+
+    def __init__(self, type_, tag="", attrs=None, data=""):
+        self.type = type_
+        self.tag = tag
+        self.attrs = attrs or []  # list[(key, value)] — first occurrence wins
+        self.data = data
+        self.children: list[Node] = []
+        self.parent: Node | None = None
+
+    def append(self, child: "Node") -> None:
+        child.parent = self
+        self.children.append(child)
+
+    def attr(self, key: str):
+        """First attribute value by key (reference nodes.go:12-24)."""
+        for k, v in self.attrs:
+            if k == key:
+                return v if v is not None else ""
+        return None
+
+    def __repr__(self):  # pragma: no cover - debug aid
+        if self.type == ELEMENT:
+            return f"<{self.tag} {self.attrs}>"
+        return f"Node({self.type}, {self.data[:20]!r})"
+
+
+def text(node: Node | None) -> str:
+    """Inner text per reference internal/scan/nodes.go:27-48.
+
+    Text node → its data verbatim. Otherwise concatenate, depth-first, the
+    data of child text nodes and the text() of child *elements*; comments and
+    doctypes contribute nothing; no trimming or whitespace folding.
+    """
+    if node is None:
+        return ""
+    if node.type == TEXT:
+        return node.data
+    out: list[str] = []
+    _text_into(node, out)
+    return "".join(out)
+
+
+def _text_into(node: Node, out: list[str]) -> None:
+    for c in node.children:
+        if c.type == TEXT:
+            out.append(c.data)
+        elif c.type == ELEMENT:
+            _text_into(c, out)
+
+
+class _DomParser(HTMLParser):
+    """Tree builder with implied html/head/body and void/implied-end tags."""
+
+    def __init__(self):
+        super().__init__(convert_charrefs=True)
+        self.document = Node(DOCUMENT)
+        self._stack: list[Node] = []
+        self._html: Node | None = None
+        self._head: Node | None = None
+        self._body: Node | None = None
+        self._mode = "initial"  # initial → before_body → in_body
+
+    # -- structure helpers -------------------------------------------------
+    def _ensure_html(self) -> Node:
+        if self._html is None:
+            self._html = Node(ELEMENT, "html")
+            self.document.append(self._html)
+        return self._html
+
+    def _ensure_head(self) -> Node:
+        html = self._ensure_html()
+        if self._head is None:
+            self._head = Node(ELEMENT, "head")
+            html.append(self._head)
+        return self._head
+
+    def _ensure_body(self) -> Node:
+        html = self._ensure_html()
+        self._ensure_head()
+        if self._body is None:
+            self._body = Node(ELEMENT, "body")
+            html.append(self._body)
+        self._mode = "in_body"
+        return self._body
+
+    def _current(self) -> Node:
+        if self._stack:
+            return self._stack[-1]
+        if self._mode == "in_body" and self._body is not None:
+            return self._body
+        return self.document
+
+    # -- HTMLParser callbacks ----------------------------------------------
+    def handle_decl(self, decl):
+        self.document.append(Node(DOCTYPE, data=decl))
+
+    def handle_comment(self, data):
+        self._current().append(Node(COMMENT, data=data))
+
+    def handle_starttag(self, tag, attrs):
+        if tag == "html":
+            html = self._ensure_html()
+            if not html.attrs:
+                html.attrs = list(attrs)
+            return
+        if tag == "head":
+            head = self._ensure_head()
+            if not head.attrs:
+                head.attrs = list(attrs)
+            self._mode = "before_body"
+            return
+        if tag == "body":
+            body = self._ensure_body()
+            if not body.attrs:
+                body.attrs = list(attrs)
+            return
+
+        if not self._stack:
+            # Top-level element: route to head or body like WHATWG does.
+            if self._body is None and tag in HEAD_ELEMENTS:
+                parent = self._ensure_head()
+            else:
+                parent = self._ensure_body()
+        else:
+            parent = self._implied_end(tag)
+
+        node = Node(ELEMENT, tag, list(attrs))
+        parent.append(node)
+        if tag not in VOID_ELEMENTS:
+            self._stack.append(node)
+
+    def _implied_end(self, incoming: str) -> Node:
+        """Pop elements whose end tag is implied by the incoming start tag."""
+        cur = self._stack[-1]
+        if cur.tag == "p" and incoming in P_CLOSERS:
+            self._stack.pop()
+        elif cur.tag == "li" and incoming == "li":
+            self._stack.pop()
+        elif cur.tag in ("dt", "dd") and incoming in ("dt", "dd"):
+            self._stack.pop()
+        elif cur.tag in ("td", "th") and incoming in ("td", "th", "tr"):
+            self._stack.pop()
+            if self._stack and self._stack[-1].tag == "tr" and incoming == "tr":
+                self._stack.pop()
+        elif cur.tag == "tr" and incoming == "tr":
+            self._stack.pop()
+        elif cur.tag == "option" and incoming in ("option", "optgroup"):
+            self._stack.pop()
+        return self._current()
+
+    def handle_startendtag(self, tag, attrs):
+        # <br/> style — treat like a start tag of a void-ish element.
+        if tag in ("html", "head", "body"):
+            self.handle_starttag(tag, attrs)
+            return
+        if not self._stack:
+            if self._body is None and tag in HEAD_ELEMENTS:
+                parent = self._ensure_head()
+            else:
+                parent = self._ensure_body()
+        else:
+            parent = self._current()
+        parent.append(Node(ELEMENT, tag, list(attrs)))
+
+    def handle_endtag(self, tag):
+        if tag in ("html", "head", "body"):
+            if tag == "head":
+                self._mode = "before_body"
+            return
+        # Pop to the nearest matching open element (ignore stray end tags).
+        for i in range(len(self._stack) - 1, -1, -1):
+            if self._stack[i].tag == tag:
+                del self._stack[i:]
+                return
+
+    def handle_data(self, data):
+        if not data:
+            return
+        if self._stack:
+            self._stack[-1].append(Node(TEXT, data=data))
+            return
+        # Text at top level: whitespace before body is dropped (WHATWG
+        # "before head"/"before body" modes); other text forces a body.
+        if self._mode != "in_body" and data.strip() == "":
+            return
+        self._ensure_body().append(Node(TEXT, data=data))
+
+
+def parse(html: str | bytes) -> Node:
+    """Parse HTML into a document node (reference page.go:61-69 analogue).
+
+    Always succeeds on any input (like x/net/html, which is error-tolerant);
+    bytes are decoded as UTF-8 with replacement.
+    """
+    if isinstance(html, (bytes, bytearray, memoryview)):
+        html = bytes(html).decode("utf-8", errors="replace")
+    p = _DomParser()
+    p.feed(html)
+    p.close()
+    p._ensure_body()  # documents always end up with html/head/body
+    return p.document
+
+
+# --------------------------------------------------------------------------
+# CSS selectors — the subset the reference's scrape specs exercise
+# (reference internal/selectors caches compiled cascadia selectors,
+# selectors.go:14-51; we cache compiled matchers with lru_cache).
+# Grammar: group = sel ("," sel)* ; sel = simple ((" "|">") simple)* ;
+# simple = [tag|*] ("#id" | ".class" | "[attr]" | "[attr=val]")*
+
+_SIMPLE_RE = re.compile(
+    r"(?P<tag>[a-zA-Z][\w-]*|\*)?"
+    r"(?P<rest>(?:[.#][\w-]+|\[[^\]]+\])*)$"
+)
+_PART_RE = re.compile(r"[.#][\w-]+|\[[^\]]+\]")
+
+
+class _Simple:
+    __slots__ = ("tag", "id", "classes", "attrs")
+
+    def __init__(self, tag, id_, classes, attrs):
+        self.tag = tag
+        self.id = id_
+        self.classes = classes
+        self.attrs = attrs  # list[(key, value-or-None)]
+
+    def matches(self, node: Node) -> bool:
+        if node.type != ELEMENT:
+            return False
+        if self.tag and self.tag != "*" and node.tag != self.tag:
+            return False
+        if self.id is not None and node.attr("id") != self.id:
+            return False
+        if self.classes:
+            cls = (node.attr("class") or "").split()
+            for c in self.classes:
+                if c not in cls:
+                    return False
+        for k, v in self.attrs:
+            got = node.attr(k)
+            if got is None:
+                return False
+            if v is not None and got != v:
+                return False
+        return True
+
+
+def _parse_simple(token: str) -> _Simple:
+    m = _SIMPLE_RE.match(token)
+    if not m or (not m.group("tag") and not m.group("rest")):
+        raise ValueError(f"unsupported selector: {token!r}")
+    tag = m.group("tag")
+    id_ = None
+    classes: list[str] = []
+    attrs: list[tuple[str, str | None]] = []
+    for part in _PART_RE.findall(m.group("rest") or ""):
+        if part.startswith("."):
+            classes.append(part[1:])
+        elif part.startswith("#"):
+            id_ = part[1:]
+        else:
+            inner = part[1:-1]
+            if "=" in inner:
+                k, _, v = inner.partition("=")
+                attrs.append((k.strip(), v.strip().strip("\"'")))
+            else:
+                attrs.append((inner.strip(), None))
+    return _Simple(tag.lower() if tag else None, id_, classes, attrs)
+
+
+class Selector:
+    """A compiled selector group; match_all returns document-order nodes."""
+
+    def __init__(self, source: str):
+        self.source = source
+        self._alts: list[list[tuple[str, _Simple]]] = []
+        for alt in source.split(","):
+            alt = alt.strip()
+            if not alt:
+                raise ValueError(f"empty selector in {source!r}")
+            # tokenize on combinators, preserving '>'
+            toks = re.split(r"\s*(>)\s*|\s+", alt)
+            chain: list[tuple[str, _Simple]] = []
+            comb = " "
+            for t in toks:
+                if t is None or t == "":
+                    continue
+                if t == ">":
+                    comb = ">"
+                    continue
+                chain.append((comb, _parse_simple(t)))
+                comb = " "
+            if not chain:
+                raise ValueError(f"unsupported selector: {source!r}")
+            self._alts.append(chain)
+
+    def _chain_matches(self, node: Node, chain) -> bool:
+        comb, simple = chain[-1]
+        if not simple.matches(node):
+            return False
+        rest = chain[:-1]
+        if not rest:
+            return True
+        anc = node.parent
+        if comb == ">":
+            return anc is not None and self._chain_matches(anc, rest)
+        while anc is not None:
+            if self._chain_matches(anc, rest):
+                return True
+            anc = anc.parent
+        return False
+
+    def matches(self, node: Node) -> bool:
+        return any(self._chain_matches(node, c) for c in self._alts)
+
+    def match_all(self, root: Node) -> list[Node]:
+        out: list[Node] = []
+        stack = [root]
+        order: list[Node] = []
+        # iterative pre-order DFS = document order (cascadia MatchAll parity)
+        while stack:
+            n = stack.pop()
+            order.append(n)
+            stack.extend(reversed(n.children))
+        for n in order:
+            if n.type == ELEMENT and self.matches(n):
+                out.append(n)
+        return out
+
+    def match_first(self, root: Node) -> Node | None:
+        nodes = self.match_all(root)
+        return nodes[0] if nodes else None
+
+
+@lru_cache(maxsize=4096)
+def compile_selector(source: str) -> Selector:
+    """Compile-once cache, per executor process (reference selectors.go:39-51)."""
+    return Selector(source)

@@ -1,0 +1,140 @@
+"""Politeness: wall-clock token buckets → per-round budget windows.
+
+The reference blocks each fetch behind token buckets (``limiters.go``:
+``Limit(n)`` global, ``LimitHostname``, ``LimitPattern``/``LimitRegexp``) and
+behind robots ``Crawl-delay`` sleeps (``internal/robots/cache.go:114-136``).
+In a bulk-synchronous round of logical duration ``round_seconds``, a bucket
+of rate n req/s admits ``floor(n * round_seconds)`` rows per round; rows over
+budget stay in the frontier for the next round. That equivalence (documented
+as SURVEY.md §2.5 W1-W4) keeps reference-compatible ordering: within a host,
+admitted rows are always the lowest ``seq`` first (FIFO, queue.go:108-110).
+
+Scale design: the budget is a per-host top-k — a window over
+``partitionBy(host)``. Hot hosts (power-law skew!) would make one window
+partition huge, so ``budget_per_host`` runs two phases when ``salt`` > 1:
+phase 1 ranks within (host, salt) keeping ≤ budget rows per salt (bounded
+partitions, even for a 10^9-row host), phase 2 ranks the ≤ salt×budget
+survivors within host. Output is identical to the single-phase window —
+the top-``budget`` rows by ``seq`` per host — because any row in the true
+host-level top-k is also in the top-k of its salt bucket.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def budget_per_host(
+    frontier: DataFrame,
+    budget_col: Column,
+    order_cols: list[str] | None = None,
+    salt: int = 8,
+) -> DataFrame:
+    """Adds ``in_budget`` boolean: row is within its host's round budget.
+
+    ``budget_col`` may reference per-row columns (e.g. derived from
+    crawl_delay). Rows keep frontier columns; caller splits on in_budget.
+    """
+    order_cols = order_cols or ["seq"]
+    b = budget_col.cast("long")
+    df = frontier.withColumn("_budget", b)
+    if salt > 1:
+        df = df.withColumn("_salt", F.pmod(F.col("url_hash"), F.lit(salt)))
+        w1 = Window.partitionBy("host", "_salt").orderBy(*order_cols)
+        df = (
+            df.withColumn("_rk1", F.row_number().over(w1))
+            .filter(F.col("_rk1") <= F.col("_budget"))
+            .drop("_rk1")
+        )
+        # survivors per host ≤ salt × budget — bounded second phase
+        w2 = Window.partitionBy("host").orderBy(*order_cols)
+        ranked = df.withColumn("_rk", F.row_number().over(w2)).drop("_salt")
+    else:
+        w = Window.partitionBy("host").orderBy(*order_cols)
+        ranked = df.withColumn("_rk", F.row_number().over(w))
+    return ranked.withColumn("in_budget", F.col("_rk") <= F.col("_budget")).drop(
+        "_rk", "_budget"
+    )
+
+
+def split_by_budget(
+    frontier: DataFrame,
+    budget_col: Column,
+    order_cols: list[str] | None = None,
+    salt: int = 8,
+) -> tuple[DataFrame, DataFrame]:
+    """(admitted, deferred). NOTE with salt>1 the deferred set equals the
+    original minus admitted — computed by anti-join on seq to avoid
+    recomputing windows."""
+    order_cols = order_cols or ["seq"]
+    marked = budget_per_host(frontier, budget_col, order_cols, salt=1 if salt <= 1 else salt)
+    admitted = marked.filter(F.col("in_budget")).drop("in_budget")
+    if salt > 1:
+        # phase 1 of the salted window already dropped some rows from
+        # ``marked``; recover the full deferred set by anti-joining the
+        # original frontier on ``seq`` (globally unique → exact).
+        deferred = frontier.join(
+            admitted.select(F.col("seq").alias("_a_seq")),
+            frontier["seq"] == F.col("_a_seq"),
+            "left_anti",
+        )
+        return admitted, deferred
+    deferred = marked.filter(~F.col("in_budget")).drop("in_budget")
+    return admitted, deferred
+
+
+def host_budget_expr(
+    round_seconds: float,
+    default_budget: int,
+    crawl_delay_col: Column,
+    host_rates: dict[str, int] | None = None,
+    host_col: Column | None = None,
+) -> Column:
+    """Per-row budget column.
+
+    - base: ``default_budget`` (≈ unlimited when politeness is off);
+    - ``LimitHostname(n, host)`` → host_rates[host] · round_seconds
+      (limiters.go:43-51);
+    - robots Crawl-delay d → floor(round_seconds / d), min 1 so progress is
+      guaranteed even when d > round_seconds (cache.go:114-136; the min-1
+      floor is the BSP equivalence documented in SURVEY.md §7).
+    The effective budget is the MINIMUM of all applicable buckets — matching
+    the reference where every limiter blocks independently.
+    """
+    budget = F.lit(default_budget).cast("double")
+    if host_rates:
+        hc = host_col if host_col is not None else F.col("host")
+        rate = F.lit(None).cast("double")
+        expr = None
+        for h, n in host_rates.items():
+            cond = hc == F.lit(h)
+            val = F.lit(float(n) * round_seconds)
+            expr = F.when(cond, val) if expr is None else expr.when(cond, val)
+        if expr is not None:
+            rate = expr.otherwise(F.lit(None))
+        budget = F.least(budget, F.coalesce(rate, budget))
+    delay_budget = F.when(
+        crawl_delay_col.isNotNull() & (crawl_delay_col > 0),
+        F.greatest(F.floor(F.lit(round_seconds) / crawl_delay_col), F.lit(1)),
+    ).otherwise(F.lit(None))
+    budget = F.least(budget, F.coalesce(delay_budget.cast("double"), budget))
+    return F.greatest(F.floor(budget), F.lit(1)).cast("long")
+
+
+def global_limit(frontier: DataFrame, n: int, order_cols: list[str] | None = None) -> tuple[DataFrame, DataFrame]:
+    """``Limit(n)`` — global cap per round (limiters.go:93-98).
+
+    Exact global top-k needs a total order; implemented as sort+limit (Spark
+    executes TakeOrderedAndProject — no single-partition window). The
+    deferred remainder is an anti-join. At cluster scale prefer per-host
+    budgets; a global cap forces coordination by definition.
+    """
+    order_cols = order_cols or ["seq"]
+    admitted = frontier.orderBy(*order_cols).limit(n)
+    deferred = frontier.join(
+        admitted.select(F.col("seq").alias("_a_seq")),
+        frontier["seq"] == F.col("_a_seq"),
+        "left_anti",
+    )
+    return admitted, deferred

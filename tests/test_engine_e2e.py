@@ -1,0 +1,127 @@
+"""E2E golden crawls (reference engine_test.go:28-77 ported to the BSP engine).
+
+These are the expensive tests: each runs a full multi-round crawl through
+the real round loop (robots → politeness → fetch-join → parse UDF → dedupe →
+commit). Grouped to keep total wall-clock down.
+"""
+
+import pandas as pd
+import pytest
+
+from ant_spark import schemas
+from ant_spark.engine import CrawlConfig, Engine
+from ant_spark.sources.webgraph import GraphConfig, example_site, generate
+
+
+@pytest.fixture(scope="module")
+def example(spark):
+    pages_pdf, robots_pdf, seeds = example_site()
+    pages = spark.createDataFrame(pages_pdf, schema=schemas.PAGES)
+    robots = spark.createDataFrame(robots_pdf, schema=schemas.ROBOTS)
+    return pages, robots, seeds, pages_pdf
+
+
+def test_golden_crawl_visited_set_and_bfs_order(spark, example):
+    pages, robots, seeds, pages_pdf = example
+    res = Engine(spark, pages, robots, CrawlConfig(max_rounds=10)).run(seeds)
+    rows = res.fetched_log.orderBy("seq").collect()
+    visited = [r["url"].replace("http://example.com", "") or "/" for r in rows]
+    # engine_test.go:39-48: /search.html excluded by robots
+    assert visited == ["/", "/about.html", "/products.html", "/a.html", "/b.html"]
+    # sequential-reference BFS seq order: search.html consumed seq 3
+    assert [r["seq"] for r in rows] == [0, 1, 2, 4, 5]
+    assert res.rounds == 3
+    # per-row invariant: byte-identical extracted text vs the golden column
+    golden = dict(zip(pages_pdf.url, pages_pdf.text))
+    for r in rows:
+        assert r["text"] == golden[r["url"]], r["url"]
+    # dedupe-exactly-once: no URL fetched twice
+    assert len(set(visited)) == len(visited)
+    # robots_denied recorded in metrics
+    stages = {}
+    for m in res.metrics.collect():
+        stages[m["stage"]] = stages.get(m["stage"], 0) + m["n"]
+    assert stages["robots_denied"] == 1
+    assert stages["fetched"] == 5
+
+
+def test_matcher_limits_crawl(spark, example):
+    from ant_spark.operators.matchers import match_pattern
+
+    pages, robots, seeds, _ = example
+    res = Engine(
+        spark, pages, robots,
+        CrawlConfig(matcher=match_pattern("example.com/"), max_rounds=5),
+    ).run(seeds)
+    assert [r["url"] for r in res.fetched_log.collect()] == ["http://example.com/"]
+
+
+def test_retry_and_dead_letter(spark):
+    import datetime as dt
+
+    base = dt.datetime(2025, 1, 1, tzinfo=dt.timezone.utc)
+    pages_pdf = pd.DataFrame(
+        [
+            {
+                "url": "http://x.test/",
+                "warc_ts": base,
+                "html": b'<html><body><a href="/f.html">f</a><a href="/dead.html">d</a>'
+                        b'<a href="/missing.html">m</a></body></html>',
+                "text": "fdm", "lang": "en", "status": 200, "ok_after_attempt": None,
+            },
+            {
+                "url": "http://x.test/f.html", "warc_ts": base,
+                "html": b"<html><body>ok now</body></html>",
+                "text": "ok now", "lang": "en", "status": 503, "ok_after_attempt": 3,
+            },
+            {
+                "url": "http://x.test/dead.html", "warc_ts": base,
+                "html": b"<html></html>", "text": "", "lang": "en",
+                "status": 503, "ok_after_attempt": 99,
+            },
+        ]
+    )
+    pages = spark.createDataFrame(pages_pdf, schema=schemas.PAGES)
+    res = Engine(spark, pages, None, CrawlConfig(max_rounds=12)).run(["http://x.test/"])
+    stages = {}
+    for m in res.metrics.collect():
+        stages[m["stage"]] = stages.get(m["stage"], 0) + m["n"]
+    # f.html: 503 at attempts 1,2 → fetched at attempt 3 (fetcher.go retry)
+    logs = {r["url"]: r["status"] for r in res.fetched_log.collect()}
+    assert logs["http://x.test/f.html"] == 200
+    # dead.html: retried up to max_attempts=5 then dead-lettered
+    assert stages["dead_letter"] == 1
+    assert stages["retried"] == 2 + 4  # f: attempts 1-2, dead: attempts 1-4
+    # missing.html: 404 consumed silently (fetcher.go:157-161), never an error
+    assert stages["missing_404"] == 1
+    assert "perm_error" not in stages
+
+
+def test_synthetic_graph_full_coverage_and_resume(spark, tmp_path):
+    cfg = GraphConfig(n_pages=120, n_hosts=4, crawl_delay_hosts=0,
+                      robots_disallow_hosts=2, flaky_every=0)
+    pages_pdf, robots_pdf, seeds = generate(cfg)
+    pages = spark.createDataFrame(pages_pdf, schema=schemas.PAGES)
+    robots = spark.createDataFrame(robots_pdf, schema=schemas.ROBOTS)
+
+    ckpt = str(tmp_path / "ckpt")
+    eng = Engine(spark, pages, robots, CrawlConfig(checkpoint_dir=ckpt, max_rounds=3))
+    part1 = eng.run(seeds)
+    assert part1.rounds == 3
+
+    # resume from the committed snapshot and finish the crawl
+    eng2 = Engine(spark, pages, robots, CrawlConfig(checkpoint_dir=ckpt, max_rounds=50))
+    res = eng2.run(seeds, resume=True)
+
+    fetched = {r["url"] for r in res.fetched_log.collect()}
+    private = {u for u in pages_pdf.url if "/private/" in u}
+    public = set(pages_pdf.url) - private
+    assert private.isdisjoint(fetched)  # robots deny enforced
+    assert public == fetched  # everything reachable got fetched exactly once
+    log = res.fetched_log.collect()
+    assert len(log) == len(fetched)  # exactly-once across resume boundary
+
+    # text parity on the synthetic corpus too (generator analytic vs UDF)
+    golden = dict(zip(pages_pdf.url, pages_pdf.text))
+    for r in log:
+        assert r["text"] == golden[r["url"]], r["url"]

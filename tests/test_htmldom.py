@@ -1,0 +1,130 @@
+"""HTML DOM + text extraction semantics (reference internal/scan/nodes.go,
+page.go) and the CSS selector subset."""
+
+from ant_spark.functions.htmldom import compile_selector, parse, text
+from ant_spark.functions.parse import extract_links, parse_page
+
+
+def test_text_no_whitespace_normalization():
+    doc = parse("<html><body><p>  a \n b </p><p>c</p></body></html>")
+    assert text(doc) == "  a \n b c"
+
+
+def test_text_includes_script_and_style():
+    # scan.Text recurses into every element node (nodes.go:38-44)
+    doc = parse("<html><head><style>.x{}</style><script>var a=1;</script></head>"
+                "<body>hi</body></html>")
+    assert text(doc) == ".x{}var a=1;hi"
+
+
+def test_text_skips_comments():
+    doc = parse("<html><body>a<!-- nope -->b</body></html>")
+    assert text(doc) == "ab"
+
+
+def test_text_entities_decoded():
+    doc = parse("<html><body>a &amp; b &#65;</body></html>")
+    assert text(doc) == "a & b A"
+
+
+def test_text_of_text_node_is_data():
+    doc = parse("<html><body>xyz</body></html>")
+    body_text = doc.children[0].children[1].children[0]
+    assert body_text.type == 0  # TEXT
+    assert text(body_text) == "xyz"
+
+
+def test_implied_structure():
+    doc = parse("<p>hello</p>")
+    html = doc.children[0]
+    assert html.tag == "html"
+    assert [c.tag for c in html.children] == ["head", "body"]
+    assert text(doc) == "hello"
+
+
+def test_void_elements_do_not_nest():
+    doc = parse("<html><body><p>a<br>b<img src=x>c</p></body></html>")
+    assert text(doc) == "abc"
+    p = compile_selector("p").match_first(doc)
+    assert [c.tag for c in p.children if c.type == 1] == ["br", "img"]
+
+
+def test_selector_class_id_attr():
+    doc = parse(
+        '<html><body><div class="a b" id="d1"><span data-x="1">s1</span></div>'
+        '<div class="a"><span>s2</span></div></body></html>'
+    )
+    assert len(compile_selector(".a").match_all(doc)) == 2
+    assert len(compile_selector(".b").match_all(doc)) == 1
+    assert text(compile_selector("#d1 span").match_first(doc)) == "s1"
+    assert text(compile_selector("[data-x]").match_first(doc)) == "s1"
+    assert text(compile_selector('[data-x="1"]').match_first(doc)) == "s1"
+    assert len(compile_selector("div > span").match_all(doc)) == 2
+    assert len(compile_selector(".b > span").match_all(doc)) == 1
+    assert len(compile_selector("span, div").match_all(doc)) == 4
+
+
+def test_selector_document_order():
+    doc = parse(
+        "<html><body><i>1</i><b><i>2</i></b><i>3</i></body></html>"
+    )
+    assert [text(n) for n in compile_selector("i").match_all(doc)] == ["1", "2", "3"]
+
+
+def test_attr_first_occurrence():
+    doc = parse('<html><body><a href="x" href="y">t</a></body></html>')
+    a = compile_selector("a").match_first(doc)
+    assert a.attr("href") == "x"  # scan.Attr takes the first key (nodes.go:12-24)
+
+
+def test_extract_links_resolution_rules():
+    # page.go:116-139: relative resolved, invalid skipped, http(s) only
+    html = (
+        '<html><body>'
+        '<a href="/abs.html">1</a>'
+        '<a href="rel.html">2</a>'
+        '<a href="../up.html">3</a>'
+        '<a href="http://other.test/x">4</a>'
+        '<a href="HTTPS://S.test/y">5</a>'
+        '<a href="mailto:a@b.c">no</a>'
+        '<a href="javascript:void(0)">no</a>'
+        '<a href="//proto.test/z">6</a>'
+        '<a name="anchor-without-href">no</a>'
+        "</body></html>"
+    )
+    links = extract_links(html, "http://example.com/dir/page.html")
+    assert links == [
+        "http://example.com/abs.html",
+        "http://example.com/dir/rel.html",
+        "http://example.com/up.html",
+        "http://other.test/x",
+        "HTTPS://S.test/y",
+        "http://proto.test/z",
+    ]
+
+
+def test_parse_page_fused():
+    html = (
+        "<html><head><title>T</title></head><body>"
+        '<a href="/a">x</a><div class="project"><h1>Ant</h1></div></body></html>'
+    )
+    links, txt, title, scraped = parse_page(
+        html, "http://e.com/", {"name": ".project h1"}
+    )
+    assert links == ["http://e.com/a"]
+    assert title == "T"
+    assert txt == "TxAnt"
+    assert scraped == {"name": "Ant"}
+
+
+def test_fixture_about_html():
+    # FIXTURES.md §3 golden: .project h1 == "Ant"; links home + a.html
+    from ant_spark.sources.webgraph import _EXAMPLE_PAGES
+
+    html = _EXAMPLE_PAGES["/about.html"]
+    links, txt, _, scraped = parse_page(
+        html, "http://example.com/about.html", {"name": ".project h1", "next": "a.next@href"}
+    )
+    assert links == ["http://example.com/", "http://example.com/a.html"]
+    assert scraped == {"name": "Ant", "next": "/a.html"}
+    assert "Ant" in txt
