@@ -1,0 +1,206 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths, per the scale ladder:
+- **brute-force cosine top-k** — the correctness baseline: cross-join query
+  rows against the corpus, dot products via native ``F.zip_with`` +
+  ``F.aggregate`` (whole-stage codegen, no Python), window top-k per query.
+  O(Q·N) — fine for Q small; the oracle (DuckDB list_* functions) verifies
+  values.
+- **random-hyperplane LSH buckets** — the scale path: h deterministic
+  hyperplanes (seeded, generated on the driver, shipped as literals) give a
+  h-bit signature; candidates share a bucket; exact cosine re-rank inside
+  buckets only. The bucket join shuffles on the signature key instead of
+  cross-joining, turning O(Q·N) into O(Q·N/2^h) expected.
+- **embedding-cosine near-dup**: all pairs above a cosine threshold within
+  LSH buckets (the embedding analogue of minhash near-dup).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Σ aᵢ·bᵢ with left-to-right accumulation (matches the SQL oracle's
+    list_dot_product evaluation order for reproducible floats)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def brute_force_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k cosine neighbours per query (excluding self by id).
+
+    Output: (query_id, neighbor_id, rank, cos_sim rounded 4dp). Ranking uses
+    full precision; ties break on neighbor_id for determinism.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")
+    )
+    scored = (
+        q.crossJoin(c)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("_sim", cosine(F.col("_qv"), F.col("_cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "rank",
+            F.round(F.col("_sim"), 4).alias("cos_sim"),
+        )
+    )
+
+
+def make_hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic random hyperplanes (driver-side, shipped as literals —
+    both to the Spark plan and to the SQL oracle string)."""
+    rng = np.random.default_rng(seed)
+    return [[float(x) for x in rng.standard_normal(dim)] for _ in range(n_planes)]
+
+
+def lsh_signature(vec_col: Column, planes: list[list[float]]) -> Column:
+    """Sign-bit signature as a bigint bucket key."""
+    acc = F.lit(0).cast("long")
+    for i, p in enumerate(planes):
+        plane = F.array(*[F.lit(x) for x in p])
+        bit = F.when(dot(vec_col, plane) >= 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        acc = acc + F.shiftleft(bit, i)
+    return acc
+
+
+def lsh_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    planes: list[list[float]],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN top-k: exact cosine re-rank *within* the query's LSH bucket.
+
+    Recall < 1 by construction (that's the approximation); the bucket join
+    replaces the cross join — at 10^10 vectors the corpus side is written
+    bucketed by ``bucket`` so the probe is storage-partitioned.
+    """
+    sig = lambda df, idn, vn: df.select(
+        F.col(id_col).alias(idn),
+        F.col(vec_col).alias(vn),
+        lsh_signature(F.col(vec_col), planes).alias("bucket"),
+    )
+    q = sig(queries, "query_id", "_qv")
+    c = sig(corpus, "neighbor_id", "_cv")
+    scored = (
+        q.join(c, "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("_sim", cosine(F.col("_qv"), F.col("_cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "rank",
+            F.round(F.col("_sim"), 4).alias("cos_sim"),
+        )
+    )
+
+
+def cosine_near_dup_pairs(
+    corpus: DataFrame,
+    planes: list[list[float]],
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding near-duplicate pairs: cosine ≥ threshold within LSH buckets.
+
+    Returns (doc_a, doc_b, cos_sim) with doc_a < doc_b. The bucket
+    restriction bounds the pair blow-up; multiple plane sets (OR-composed)
+    raise recall when needed.
+    """
+    c = corpus.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        lsh_signature(F.col(vec_col), planes).alias("bucket"),
+    )
+    a = c.select(
+        F.col("id").alias("doc_a"), F.col("v").alias("_va"), "bucket"
+    )
+    b = c.select(
+        F.col("id").alias("doc_b"), F.col("v").alias("_vb"), "bucket"
+    )
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .withColumn("_sim", cosine(F.col("_va"), F.col("_vb")))
+        .filter(F.col("_sim") >= threshold)
+        .select(
+            "doc_a", "doc_b", F.round(F.col("_sim"), 4).alias("cos_sim")
+        )
+    )
+
+
+def ivf_assign(
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF coarse quantization: assign each vector to its nearest centroid
+    (literal centroid list — at scale, k-means output broadcast as literals
+    or a small joined dim). Output (id, cell, cos_to_centroid)."""
+    out = corpus.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v")
+    )
+    best_cell = F.lit(-1).cast("int")
+    best_sim = F.lit(-2.0)
+    for i, cvec in enumerate(centroids):
+        lit = F.array(*[F.lit(x) for x in cvec])
+        sim = cosine(F.col("v"), lit)
+        better = sim > best_sim
+        best_cell = F.when(better, F.lit(i).cast("int")).otherwise(best_cell)
+        best_sim = F.when(better, sim).otherwise(best_sim)
+    return out.select(
+        "id",
+        best_cell.alias("cell"),
+        F.round(best_sim, 4).alias("cos_to_centroid"),
+    )

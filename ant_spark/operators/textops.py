@@ -1,0 +1,311 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+These run over the crawl's extracted-text output (the ``documents`` shape:
+``doc_id, text, lang, source, n_chars``) and are built ENTIRELY from native
+``pyspark.sql.functions`` expressions — no Python in the hot path, full
+whole-stage codegen, and every operator has a 1:1 ANSI-SQL oracle
+(see __spark_entry__.oracle_sql) so DuckDB can verify values bit-for-bit.
+
+Operators:
+- language_id     — stopword-marker n-gram heuristic (en/de/fr/es)
+- quality_score   — length/punctuation/stopword/uppercase signals
+- token_count     — whitespace tokens + a BPE-ish regex token count
+- fingerprint     — whitespace-normalized md5 document fingerprint
+- exact_dup_groups— hash-groupBy exact dedup
+- ngram_shingles  — word k-shingles (for minhash/jaccard)
+
+Scale notes: everything is embarrassingly parallel per row except the dedup
+groupBys, which shuffle on the hash/fingerprint — a near-uniform key, so no
+skew handling needed; AQE coalesces small partitions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# marker stopwords per language; chosen to be mutually rare across the others
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is"],
+    "de": ["der", "die", "und", "nicht", "das"],
+    "fr": ["le", "les", "des", "est", "une"],
+    "es": ["el", "los", "las", "es", "una"],
+}
+# deterministic priority for ties (argmax order)
+LANG_ORDER = ["en", "de", "fr", "es"]
+
+
+def words_of(text_col: Column) -> Column:
+    """Lowercased whitespace tokens (empty strings filtered)."""
+    return F.filter(
+        F.split(F.lower(text_col), r"\s+"), lambda w: F.length(w) > 0
+    )
+
+
+def marker_hits(text_col: Column, markers: list[str]) -> Column:
+    """How many tokens are in the marker set."""
+    w = words_of(text_col)
+    arr = F.array(*[F.lit(m) for m in markers])
+    return F.size(F.filter(w, lambda t: F.array_contains(arr, t) | F.lit(False)))
+
+
+def language_id(text_col: Column) -> Column:
+    """Best-scoring language by marker-stopword hits; 'und' if no hits.
+
+    Ties break by LANG_ORDER (deterministic, mirrored in the SQL oracle).
+    """
+    scores = {lang: marker_hits(text_col, m) for lang, m in LANG_MARKERS.items()}
+    best = F.greatest(*[scores[l] for l in LANG_ORDER])
+    expr = F.when(best <= 0, F.lit("und"))
+    for lang in LANG_ORDER:
+        expr = expr.when(scores[lang] == best, F.lit(lang))
+    return expr.otherwise(F.lit("und"))
+
+
+def n_words(text_col: Column) -> Column:
+    return F.size(words_of(text_col))
+
+
+def stopword_ratio(text_col: Column, lang: str = "en") -> Column:
+    w = n_words(text_col)
+    return F.when(w > 0, marker_hits(text_col, LANG_MARKERS[lang]) / w).otherwise(
+        F.lit(0.0)
+    )
+
+
+def punct_ratio(text_col: Column) -> Column:
+    n = F.length(text_col)
+    stripped = F.length(F.regexp_replace(text_col, r"[^\w\s]", ""))
+    return F.when(n > 0, (n - stripped) / n).otherwise(F.lit(0.0))
+
+
+def upper_ratio(text_col: Column) -> Column:
+    n = F.length(text_col)
+    uppers = n - F.length(F.regexp_replace(text_col, r"[A-Z]", ""))
+    return F.when(n > 0, uppers / n).otherwise(F.lit(0.0))
+
+
+def mean_word_len(text_col: Column) -> Column:
+    w = words_of(text_col)
+    return F.when(
+        F.size(w) > 0,
+        F.aggregate(w, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t))
+        / F.size(w),
+    ).otherwise(F.lit(0.0))
+
+
+def quality_score(text_col: Column) -> Column:
+    """Heuristic [0,1] quality: length band + stopword presence − noise.
+
+    score = 0.3·len_ok + 0.3·min(1, 5·stopword_ratio)
+          + 0.2·(1 − min(1, 3·punct_ratio)) + 0.2·(1 − min(1, 3·upper_ratio))
+    where len_ok = 1 if 20 ≤ n_words ≤ 10000 else n_words/20 (short) / 0 (…).
+    """
+    w = n_words(text_col)
+    len_ok = (
+        F.when((w >= 20) & (w <= 10000), F.lit(1.0))
+        .when(w < 20, w / F.lit(20.0))
+        .otherwise(F.lit(0.0))
+    )
+    sw = F.least(F.lit(1.0), stopword_ratio(text_col) * 5)
+    pr = F.lit(1.0) - F.least(F.lit(1.0), punct_ratio(text_col) * 3)
+    ur = F.lit(1.0) - F.least(F.lit(1.0), upper_ratio(text_col) * 3)
+    return F.round(0.3 * len_ok + 0.3 * sw + 0.2 * pr + 0.2 * ur, 4)
+
+
+# BPE-ish pre-tokenization: letter runs, digit runs, single non-space symbols
+# (the GPT-2-style contraction-free subset; same pattern runs in RE2/DuckDB).
+TOKEN_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def token_count(text_col: Column) -> Column:
+    return F.size(F.regexp_extract_all(text_col, F.lit(TOKEN_PATTERN), 0))
+
+
+def normalized_text(text_col: Column) -> Column:
+    """Lowercase + whitespace-fold + trim (the fingerprint preimage)."""
+    return F.trim(F.regexp_replace(F.lower(text_col), r"\s+", " "))
+
+
+def fingerprint(text_col: Column) -> Column:
+    """Deterministic document fingerprint: md5 of normalized text.
+
+    md5 (not xxhash) so the DuckDB oracle produces identical hex strings.
+    """
+    return F.md5(normalized_text(text_col))
+
+
+def exact_dup_groups(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Exact near-identical-document groups: hash-groupBy on the fingerprint.
+
+    Returns (fp, n_docs, doc_ids sorted) for groups with n_docs > 1 —
+    the hash-groupBy exact-dedup primitive.
+    """
+    return (
+        docs.select(F.col("doc_id"), fingerprint(F.col(text_col)).alias("fp"))
+        .groupBy("fp")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sort_array(F.collect_list("doc_id")).alias("doc_ids"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def ngram_shingles(text_col: Column, k: int = 3) -> Column:
+    """Word k-shingles of the normalized text (array<string>).
+
+    transform(sequence(...)) keeps it fully native; duplicate shingles are
+    preserved (set-ness is applied by the consumer where needed).
+    """
+    w = F.split(normalized_text(text_col), " ")
+    n = F.size(w)
+    return F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(0), n - k),
+            lambda i: F.concat_ws(" ", F.slice(w, i + 1, k)),
+        ),
+    ).otherwise(F.array(F.concat_ws(" ", w)))
+
+
+def minhash_signature(text_col: Column, n_hashes: int = 16, k: int = 3) -> Column:
+    """MinHash signature: per seed, the lexicographic min of md5(seed‖shingle).
+
+    md5-based so the oracle can reproduce the exact signature; at cluster
+    scale swap md5 for xxhash64 (cheaper) — the LSH algebra is unchanged.
+    Returns array<string> of length n_hashes.
+    """
+    sh = ngram_shingles(text_col, k)
+
+    def hasher(seed: int):
+        # NB: the lambda must be unary — Spark passes the array index as a
+        # second argument to binary lambdas, which would clobber the seed.
+        return lambda s: F.md5(F.concat(F.lit(f"{seed}:"), s))
+
+    return F.array(
+        *[F.array_min(F.transform(sh, hasher(i))) for i in range(n_hashes)]
+    )
+
+
+def minhash_bands(sig_col: Column, n_bands: int, rows_per_band: int) -> Column:
+    """Band keys for LSH bucketing: md5 of each band's concatenated rows."""
+    return F.array(
+        *[
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    *[
+                        F.element_at(sig_col, b * rows_per_band + r + 1)
+                        for r in range(rows_per_band)
+                    ],
+                )
+            )
+            for b in range(n_bands)
+        ]
+    )
+
+
+def minhash_candidate_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    n_hashes: int = 16,
+    n_bands: int = 4,
+    k: int = 3,
+) -> DataFrame:
+    """MinHash+LSH near-dup candidates: shingle → minhash → band → bucket join.
+
+    Returns distinct (doc_a, doc_b) with doc_a < doc_b that collide in ≥1
+    band. The self-join shuffles on the band key only (bucket join); at
+    10^10 docs the band tables are bucketed by band_key so the join is
+    storage-partitioned.
+    """
+    rows = n_hashes // n_bands
+    sigs = docs.select(
+        F.col("doc_id"),
+        minhash_bands(
+            minhash_signature(F.col(text_col), n_hashes, k), n_bands, rows
+        ).alias("bands"),
+    )
+    banded = sigs.select(
+        "doc_id", F.posexplode("bands").alias("band_idx", "band_key")
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    docs: DataFrame, pairs: DataFrame, text_col: str = "text", k: int = 3
+) -> DataFrame:
+    """Exact k-shingle Jaccard for candidate (doc_a, doc_b) pairs.
+
+    Native exprs: array_intersect/array_union over distinct shingle sets.
+    Output jaccard rounded to 4dp for oracle-stable comparison.
+    """
+    sh = docs.select(
+        F.col("doc_id"),
+        F.array_distinct(ngram_shingles(F.col(text_col), k)).alias("sh"),
+    )
+    a = sh.alias("sa")
+    b = sh.alias("sb")
+    return (
+        pairs.join(a, pairs["doc_a"] == F.col("sa.doc_id"))
+        .join(b, pairs["doc_b"] == F.col("sb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.size(F.array_intersect("sa.sh", "sb.sh"))
+                / F.size(F.array_union("sa.sh", "sb.sh")),
+                4,
+            ).alias("jaccard"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# SimHash — 64-bit, md5-derived so it is oracle-reproducible
+
+
+def simhash64(text_col: Column, k: int = 1) -> Column:
+    """64-bit SimHash over word 1-shingles (k=1 default).
+
+    Each token hashes to 64 bits (first 16 hex chars of md5 → bigint via
+    conv); bit b contributes +1/−1 to an accumulator; the sign vector is the
+    fingerprint. Implemented with native higher-order functions:
+    for each bit, count tokens with that bit set vs total.
+    """
+    toks = F.array_distinct(F.split(normalized_text(text_col), " "))
+    h = F.transform(
+        toks, lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long")
+    )
+    n = F.size(h)
+    def bit_test(b: int):
+        # unary lambda: Spark passes the array index to binary lambdas
+        return lambda v: (F.shiftright(v, b) % 2) == 1
+
+    bits = [
+        F.when(
+            F.size(F.filter(h, bit_test(b))) * 2 > n,
+            F.lit(1).cast("long"),
+        ).otherwise(F.lit(0).cast("long"))
+        for b in range(60)
+    ]
+    acc = F.lit(0).cast("long")
+    for b, bit in enumerate(bits):
+        acc = acc + F.shiftleft(bit, b)
+    return acc
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    return F.bit_count(a.bitwiseXOR(b))

@@ -31,6 +31,7 @@ ENGINE_CONF: dict[str, str] = {
     "spark.sql.parquet.compression.codec": "zstd",
     # Keep scheduling deterministic-ish and cheap in local mode.
     "spark.sql.shuffle.partitions": "32",
+    "spark.sql.session.timeZone": "UTC",
     "spark.ui.enabled": "false",
     "spark.ui.showConsoleProgress": "false",
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),

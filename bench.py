@@ -1,0 +1,107 @@
+"""Benchmark harness — prints ONE JSON line.
+
+Headline: sustained URLs-crawled/sec of the full BSP engine on a
+deterministic synthetic web graph scaled to the SF, plus wall-clock of the
+representative operator queries over $SPARK_GRAFT_SF_DIR tables.
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS   (default 32),
+     BENCH_CRAWL_PAGES  (override crawl-graph size).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else 0.1
+
+    import __spark_entry__ as entrymod
+    from ant_spark import schemas
+    from ant_spark.engine import CrawlConfig, Engine
+    from ant_spark.session import get_spark
+    from ant_spark.sources.webgraph import GraphConfig, generate
+
+    spark = get_spark(
+        app_name="ant_spark_bench",
+        master=f"local[{cpus}]",
+        extra_conf={"spark.sql.shuffle.partitions": str(max(8, cpus))},
+    )
+
+    timings: dict[str, float] = {}
+
+    # --- headline: crawl throughput -------------------------------------
+    n_pages = int(os.environ.get("BENCH_CRAWL_PAGES", str(max(2000, int(200_000 * sf)))))
+    cfg = GraphConfig(
+        n_pages=n_pages,
+        n_hosts=max(16, n_pages // 400),
+        fanout=8,
+        crawl_delay_hosts=0,  # throughput mode: no politeness throttling
+        robots_disallow_hosts=2,
+        flaky_every=0,
+    )
+    pages_pdf, robots_pdf, seeds = generate(cfg)
+    pages = spark.createDataFrame(pages_pdf, schema=schemas.PAGES).persist()
+    robots = spark.createDataFrame(robots_pdf, schema=schemas.ROBOTS)
+    pages.count()  # materialize the simulated web before the clock starts
+
+    t0 = time.time()
+    res = Engine(
+        spark,
+        pages,
+        robots,
+        CrawlConfig(ordering="partitioned", politeness_salt=4, max_rounds=64),
+    ).run(seeds)
+    crawl_sec = time.time() - t0
+    timings["crawl"] = round(crawl_sec, 3)
+    urls_per_sec = res.pages_fetched / crawl_sec if crawl_sec > 0 else 0.0
+
+    # --- operator queries over the SF tables -----------------------------
+    qs = entrymod.queries()
+    bench_queries = [
+        "crawl_dedupe_antijoin",
+        "crawl_frontier_fifo",
+        "crawl_politeness_budget",
+        "crawl_robots_broadcast_join",
+        "text_language_id",
+        "text_quality_score",
+        "text_token_count",
+        "text_fingerprint_dups",
+        "text_minhash_lsh_pairs",
+        "text_simhash",
+        "emb_cosine_topk",
+        "emb_lsh_bucket",
+    ]
+    for name in bench_queries:
+        t = time.time()
+        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "ant_spark_bench_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "crawl_urls_per_sec": round(urls_per_sec, 1),
+                "crawl_pages_fetched": res.pages_fetched,
+                "crawl_rounds": res.rounds,
+                "cpus": cpus,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

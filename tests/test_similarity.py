@@ -1,0 +1,70 @@
+"""Similarity search: brute-force vs LSH vs IVF on a small vector set."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from ant_spark.operators.similarity import (
+    brute_force_topk,
+    cosine,
+    cosine_near_dup_pairs,
+    ivf_assign,
+    lsh_topk,
+    make_hyperplanes,
+)
+
+DIM = 8
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    rng = np.random.default_rng(5)
+    base = rng.standard_normal((20, DIM))
+    rows = [(i, [float(x) for x in base[i]]) for i in range(20)]
+    # 20 and 21: near-duplicates of 0 (tiny perturbation)
+    rows.append((20, [float(x) for x in base[0] + 0.001 * rng.standard_normal(DIM)]))
+    rows.append((21, [float(x) for x in base[0] * 2.0]))  # same direction
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_cosine_expr(spark):
+    df = spark.createDataFrame(
+        [([1.0, 0.0], [1.0, 0.0]), ([1.0, 0.0], [0.0, 1.0])],
+        "a array<float>, b array<float>",
+    )
+    got = [r["c"] for r in df.select(F.round(cosine(F.col("a"), F.col("b")), 6).alias("c")).collect()]
+    assert got == [1.0, 0.0]
+
+
+def test_brute_force_finds_planted_neighbors(spark, vectors):
+    q = vectors.filter("vec_id = 0")
+    top = brute_force_topk(q, vectors, k=2).collect()
+    ids = {r["neighbor_id"] for r in top}
+    assert ids == {20, 21}  # the planted near-dups
+    assert all(r["cos_sim"] > 0.99 for r in top)
+
+
+def test_lsh_recalls_planted_neighbors(spark, vectors):
+    planes = make_hyperplanes(DIM, 4, seed=11)
+    q = vectors.filter("vec_id = 0")
+    got = lsh_topk(q, vectors, planes, k=2).collect()
+    # near-identical vectors share every sign bit → same bucket guaranteed
+    assert {r["neighbor_id"] for r in got} >= {20}
+
+
+def test_cosine_near_dup_pairs(spark, vectors):
+    planes = make_hyperplanes(DIM, 4, seed=11)
+    pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in cosine_near_dup_pairs(vectors, planes, threshold=0.99).collect()
+    }
+    assert (0, 20) in pairs and (0, 21) in pairs and (20, 21) in pairs
+
+
+def test_ivf_assignment_deterministic(spark, vectors):
+    cents = make_hyperplanes(DIM, 3, seed=2)
+    a = ivf_assign(vectors, cents).collect()
+    b = ivf_assign(vectors, cents).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    cells = {r["cell"] for r in a}
+    assert cells <= {0, 1, 2} and len(cells) > 1

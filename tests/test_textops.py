@@ -1,0 +1,100 @@
+"""Text-analysis + dedup-family operators over a small in-memory corpus."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from ant_spark.operators import textops as T
+
+DOCS = [
+    (0, "The quick brown fox and the lazy dog of the north is to be seen."),
+    (1, "Der Hund und die Katze, das ist nicht der Fall und die Regel."),
+    (2, "Le chat et les chiens est une des merveilles, les voila."),
+    (3, "El perro y los gatos es una de las maravillas, los aqui."),
+    (4, "xyzzy plugh qwerty"),  # no markers → und
+    (5, "The quick brown fox and the lazy dog of the north is to be seen."),  # dup of 0
+    (6, "The quick brown fox and the lazy dog of the north is to be SEEN."),  # near-dup
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_language_id(spark, docs):
+    got = {
+        r["doc_id"]: r["lang"]
+        for r in docs.select(
+            "doc_id", T.language_id(F.col("text")).alias("lang")
+        ).collect()
+    }
+    assert got[0] == "en" and got[1] == "de" and got[2] == "fr" and got[3] == "es"
+    assert got[4] == "und"
+
+
+def test_quality_and_tokens(spark, docs):
+    rows = docs.select(
+        "doc_id",
+        T.quality_score(F.col("text")).alias("q"),
+        T.token_count(F.col("text")).alias("tok"),
+        T.n_words(F.col("text")).alias("w"),
+    ).collect()
+    by = {r["doc_id"]: r for r in rows}
+    assert 0.0 <= by[0]["q"] <= 1.0
+    assert by[0]["q"] > by[4]["q"]  # english prose beats gibberish
+    assert by[4]["w"] == 3 and by[4]["tok"] == 3
+    # punctuation counts as separate BPE-ish tokens
+    assert by[1]["tok"] > by[1]["w"]
+
+
+def test_fingerprint_exact_dups(spark, docs):
+    groups = T.exact_dup_groups(docs).collect()
+    assert len(groups) == 1
+    # fingerprint normalizes case: doc 6 ('SEEN.') collapses with 0 and 5
+    assert groups[0]["doc_ids"] == [0, 5, 6]
+
+
+def test_fingerprint_case_insensitive(spark, docs):
+    # fingerprint lowercases: doc 6 only differs by case → same fp as 0
+    fps = {
+        r["doc_id"]: r["fp"]
+        for r in docs.select("doc_id", T.fingerprint(F.col("text")).alias("fp")).collect()
+    }
+    assert fps[0] == fps[5] == fps[6]
+
+
+def test_shingles_and_jaccard(spark, docs):
+    pairs = spark.createDataFrame([(0, 5), (0, 4)], "doc_a long, doc_b long")
+    out = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in T.jaccard_pairs(docs, pairs, "text", k=3).collect()
+    }
+    assert out[(0, 5)] == 1.0  # identical docs
+    assert out[(0, 4)] == 0.0  # disjoint docs
+
+
+def test_minhash_lsh_finds_dups(spark, docs):
+    pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in T.minhash_candidate_pairs(
+            docs, "text", n_hashes=8, n_bands=4, k=3
+        ).collect()
+    }
+    assert (0, 5) in pairs  # exact dup always collides
+    assert (0, 6) in pairs  # case-only near-dup (identical after normalize)
+    assert (0, 4) not in pairs  # disjoint never collides (8 md5 minima differ)
+
+
+def test_simhash_near_dup_distance(spark, docs):
+    sh = {
+        r["doc_id"]: r["sh"]
+        for r in docs.select("doc_id", T.simhash64(F.col("text")).alias("sh")).collect()
+    }
+    assert sh[0] == sh[5] == sh[6]  # identical token sets
+
+
+def test_hamming(spark):
+    df = spark.createDataFrame([(0b1011, 0b0010)], "a long, b long")
+    assert df.select(T.hamming64(F.col("a"), F.col("b")).alias("h")).collect()[0][
+        "h"
+    ] == 2
