@@ -39,8 +39,17 @@ from __future__ import annotations
 import json
 import os
 import tempfile
+import time
 from dataclasses import dataclass, field
 from typing import Any, Callable
+
+_TRACE = os.environ.get("ANT_SPARK_TRACE", "") == "1"
+
+
+def _trace(label: str, t0: float) -> float:
+    if _TRACE:
+        print(f"    [trace] {label}: {time.time() - t0:.2f}s", flush=True)
+    return time.time()
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -79,9 +88,17 @@ class CrawlConfig:
     max_backoff_ms: int = 1000  # fetcher.go maxBackoff
     max_rounds: int | None = None
     max_depth: int | None = None
-    dedupe: str = "exact"  # exact | bloom_prefilter | bloom_drop
+    # exact | bloom_prefilter | bloom_drop | cuckoo_prefilter | cuckoo_drop
+    # (_drop modes reproduce reference DedupeBF false-positive losses)
+    dedupe: str = "exact"
+    link_selector: str = "a[href]"  # Page.Next(selector) — page.go:103-105
+    # LimitPattern/LimitRegexp rules: (kind in {pattern,regexp}, expr, n/sec)
+    pattern_rates: list = field(default_factory=list)
+    max_age_seconds: float | None = None  # cache freshness (S5); needs crawl_ts
+    crawl_ts: Any = None  # datetime 'now' for freshness tests
     ordering: str = "bfs"  # bfs | partitioned
     seq_partitions: int = 32  # partitioned-ordering hash fan-out
+    state_partitions: int = 32  # url_hash buckets for frontier/seen snapshots
     politeness_salt: int = 8  # skew salting for the budget window
     scrape_spec: dict[str, Any] | None = None
     strict: bool = False  # raise CrawlError on permanent errors
@@ -99,6 +116,7 @@ class CrawlResult:
     metrics: DataFrame
     extracted: DataFrame | None
     state_dir: str
+    crawl_wall_sec: float = 0.0  # time inside rounds (excludes seed bootstrap)
 
 
 def _backoff_ms(attempt_col, min_ms: int, max_ms: int):
@@ -131,12 +149,43 @@ class Engine:
         if robots_df is None:
             robots_df = spark.createDataFrame([], schemas.ROBOTS)
         self.robots = robots_df
-        self._parse_udf = make_parse_udf(self.cfg.scrape_spec)
-        self._bloom = (
-            BloomSidecar(self.cfg.bloom_buckets, self.cfg.bloom_bits)
-            if self.cfg.dedupe in ("bloom_prefilter", "bloom_drop")
-            else None
-        )
+        self._parse_udf = make_parse_udf(self.cfg.scrape_spec, self.cfg.link_selector)
+        self._robots_has_delay: bool | None = None
+        self._robots_empty: bool | None = None
+        if self.cfg.dedupe.startswith("bloom"):
+            self._bloom = BloomSidecar(self.cfg.bloom_buckets, self.cfg.bloom_bits)
+        elif self.cfg.dedupe.startswith("cuckoo"):
+            from ant_spark.operators.dedupe import CuckooSidecar
+
+            self._bloom = CuckooSidecar(
+                self.cfg.bloom_buckets, max(4096, self.cfg.bloom_bits // 16)
+            )
+        else:
+            self._bloom = None
+
+    def _robots_is_empty(self) -> bool:
+        if self._robots_empty is None:
+            self._robots_empty = self.robots.limit(1).count() == 0
+        return self._robots_empty
+
+    def _politeness_static_off(self) -> bool:
+        """True when no budget can ever bind: no host/global rates configured
+        and no robots body mentions a crawl-delay (checked once, tiny dim)."""
+        cfg = self.cfg
+        if cfg.host_rates or cfg.global_rate is not None or cfg.pattern_rates:
+            return False
+        if cfg.default_host_budget < (1 << 30):
+            return False
+        if self._robots_has_delay is None:
+            self._robots_has_delay = (
+                self.robots.filter(
+                    F.lower(F.coalesce(F.col("body"), F.lit(""))).contains("crawl-delay")
+                )
+                .limit(1)
+                .count()
+                > 0
+            )
+        return not self._robots_has_delay
 
     # ------------------------------------------------------------------
     # state management (parquet snapshot per round + manifest commit)
@@ -176,9 +225,11 @@ class Engine:
         path = os.path.join(self._round_dir(root, r), name)
         w = df
         if n_parts:
-            # bucket frontier/seen by url_hash: at cluster scale this becomes
-            # Iceberg bucket partitioning → storage-partitioned anti-join
-            w = df.repartition(n_parts, "url_hash")
+            # hash-distribute state by url_hash (at cluster scale: Iceberg
+            # bucket partitioning → storage-partitioned anti-join). No
+            # explicit N: AQE coalesces tiny frontiers, keeps large ones
+            # parallel up to spark.sql.shuffle.partitions.
+            w = df.repartition(F.col("url_hash"))
         w.write.mode("overwrite").parquet(path)
         return self.spark.read.parquet(path)
 
@@ -222,7 +273,16 @@ class Engine:
         spark = self.spark
         root = self._init_dirs()
 
-        pages = self.pages.select(
+        pages_src = self.pages
+        if cfg.max_age_seconds is not None and cfg.crawl_ts is not None:
+            # cache freshness (S5, aggressive mode): stale rows fall out of
+            # the fetch join — a cache miss with no origin behind it (404).
+            from ant_spark.operators.cache import fresh_only
+
+            pages_src = fresh_only(
+                pages_src, F.lit(cfg.crawl_ts), cfg.max_age_seconds
+            )
+        pages = pages_src.select(
             F.col("url").alias("_p_url"),
             "warc_ts",
             "html",
@@ -245,6 +305,51 @@ class Engine:
                 if self._bloom
                 else None
             )
+        elif isinstance(seeds, DataFrame):
+            # bulk seed path: a DataFrame with a normalized `url` column —
+            # seq assigned JVM-side, partition-parallel (unique+deterministic:
+            # rank-within-hash-partition × stride + partition), for huge seed
+            # sets where a total order or driver-side Python would serialize.
+            P = cfg.seq_partitions
+            part = F.pmod(F.xxhash64("url"), F.lit(P))
+            w = Window.partitionBy(part).orderBy("url")
+            frontier = (
+                seeds.select("url")
+                .distinct()
+                .withColumn(
+                    "seq",
+                    (F.row_number().over(w).cast("long") - 1) * P + part.cast("long"),
+                )
+                .select(
+                    "url",
+                    url_hash(F.col("url")).alias("url_hash"),
+                    host_of(F.col("url")).alias("host"),
+                    F.lit(0).alias("depth"),
+                    "seq",
+                    F.lit(0.0).alias("priority"),
+                    F.lit(1).alias("attempt"),
+                    F.lit(0).cast("long").alias("not_before"),
+                )
+            )
+            if cfg.matcher is not None:
+                frontier = frontier.filter(cfg.matcher(F.col("url")))
+            frontier = self._write_state(
+                root, 0, "frontier", frontier, n_parts=cfg.state_partitions
+            )
+            self._write_state(
+                root, 0, "seen_delta",
+                frontier.select("url_hash", "url", F.lit(0).alias("round")),
+            )
+            seen_paths = [os.path.join(self._round_dir(root, 0), "seen_delta")]
+            frontier_count = int(frontier.count())
+            next_seq = frontier_count * P  # seq upper bound in partitioned scheme
+            total_fetched = 0
+            total_enqueued = frontier_count
+            r = 0
+            bloom_state = None
+            if self._bloom:
+                bloom_state = self._bloom.add(frontier, self._bloom.empty_state(spark))
+                bloom_state = self._write_state(root, 0, "bloom", bloom_state)
         else:
             seed_pdf = self.seed_frontier(seeds)
             frontier = spark.createDataFrame(seed_pdf, schema=(
@@ -274,8 +379,10 @@ class Engine:
 
         metric_rows: list[tuple] = []
         rounds_run = 0
+        crawl_wall = 0.0
 
         while True:
+            _round_t0 = time.time()
             if frontier_count == 0:
                 break  # queue.Wait() returned — crawl complete
             if cfg.max_rounds is not None and rounds_run >= cfg.max_rounds:
@@ -287,32 +394,53 @@ class Engine:
             waiting = frontier.filter(F.col("not_before") > round_ts)
 
             # robots (broadcast join + vectorized allow test) ------------
-            rb = robots_ops.with_robots(
-                eligible, self.robots, cfg.ua, path_of(F.col("url"))
-            )
-            allowed = rb.filter(F.col("robots_allowed")).drop("robots_allowed")
-            denied = rb.filter(~F.col("robots_allowed"))
+            if self._robots_is_empty():
+                # no robots anywhere ⇒ allow-all; skip the join + UDFs
+                rb = eligible.withColumn(
+                    "crawl_delay", F.lit(None).cast("double")
+                ).persist()
+                allowed = rb
+                denied = rb.filter(F.lit(False))
+            else:
+                rb = robots_ops.with_robots(
+                    eligible, self.robots, cfg.ua, path_of(F.col("url"))
+                ).persist()
+                allowed = rb.filter(F.col("robots_allowed")).drop("robots_allowed")
+                denied = rb.filter(~F.col("robots_allowed"))
 
             # politeness budget window -----------------------------------
-            budget = politeness.host_budget_expr(
-                cfg.round_seconds,
-                cfg.default_host_budget,
-                F.col("crawl_delay"),
-                cfg.host_rates or None,
-            )
-            admitted, deferred = politeness.split_by_budget(
-                allowed.withColumn("_b", budget),
-                F.col("_b"),
-                order_cols=["seq"],
-                salt=cfg.politeness_salt,
-            )
-            admitted = admitted.drop("_b", "crawl_delay")
-            deferred = deferred.drop("_b", "crawl_delay").select(*frontier.columns)
-            if cfg.global_rate is not None:
-                admitted, deferred2 = politeness.global_limit(
-                    admitted, int(cfg.global_rate * cfg.round_seconds), ["seq"]
+            # fast path: with no rate limits and no crawl-delays anywhere,
+            # every allowed row is admitted — skip the window + anti-join
+            # (two shuffles saved per round in pure-throughput crawls).
+            if self._politeness_static_off():
+                admitted = allowed.drop("crawl_delay")
+                deferred = spark.createDataFrame([], eligible.schema)
+            else:
+                budget = politeness.host_budget_expr(
+                    cfg.round_seconds,
+                    cfg.default_host_budget,
+                    F.col("crawl_delay"),
+                    cfg.host_rates or None,
                 )
-                deferred = deferred.unionByName(deferred2.select(*frontier.columns))
+                admitted, deferred = politeness.split_by_budget(
+                    allowed.withColumn("_b", budget),
+                    F.col("_b"),
+                    order_cols=["seq"],
+                    salt=cfg.politeness_salt,
+                )
+                admitted = admitted.drop("_b", "crawl_delay")
+                deferred = deferred.drop("_b", "crawl_delay").select(*frontier.columns)
+                if cfg.pattern_rates:
+                    admitted, deferred3 = politeness.rule_budget(
+                        admitted, cfg.pattern_rates, cfg.round_seconds, ["seq"]
+                    )
+                    deferred = deferred.unionByName(deferred3.select(*frontier.columns))
+                if cfg.global_rate is not None:
+                    admitted, deferred2 = politeness.global_limit(
+                        admitted, int(cfg.global_rate * cfg.round_seconds), ["seq"]
+                    )
+                    deferred = deferred.unionByName(deferred2.select(*frontier.columns))
+            admitted = admitted.persist()
 
             # fetch = left equi-join against the page universe ------------
             fetched = admitted.join(pages, admitted["url"] == pages["_p_url"], "left")
@@ -331,12 +459,25 @@ class Engine:
                 )
                 .otherwise(F.lit(200))
             )
-            fetched = fetched.withColumn("status_eff", status_eff).persist()
+            # fuse fetch-join + parse into ONE cached pass: the UDF only sees
+            # html for 200s (null otherwise); the cache never holds html.
+            processed = (
+                fetched.withColumn("status_eff", status_eff)
+                .withColumn(
+                    "parsed",
+                    self._parse_udf(
+                        F.col("url"),
+                        F.when(status_eff == 200, F.col("html")),
+                    ),
+                )
+                .drop("html", "_p_url", "_p_status", "ok_after_attempt")
+                .persist()
+            )
 
-            ok = fetched.filter(F.col("status_eff") == 200)
-            missing = fetched.filter(F.col("status_eff") == 404)  # consumed
-            temp_fail = fetched.filter(F.col("status_eff").isin(503, 504, 429))
-            perm_fail = fetched.filter(
+            ok = processed.filter(F.col("status_eff") == 200)
+            missing = processed.filter(F.col("status_eff") == 404)  # consumed
+            temp_fail = processed.filter(F.col("status_eff").isin(503, 504, 429))
+            perm_fail = processed.filter(
                 (F.col("status_eff") >= 400)
                 & ~F.col("status_eff").isin(404, 503, 504, 429)
             )
@@ -350,10 +491,7 @@ class Engine:
             )
             dead = temp_fail.filter(F.col("attempt") + 1 > cfg.max_attempts)
 
-            # fused parse (links + text + title + scrape) -----------------
-            parsed = ok.withColumn(
-                "parsed", self._parse_udf(F.col("url"), F.col("html"))
-            ).persist()
+            parsed = ok  # 200s already carry the fused-parse struct
 
             log_df = parsed.select(
                 "url", "url_hash", "host", "depth", "seq",
@@ -392,10 +530,10 @@ class Engine:
             else:
                 tested = self._bloom.test(links.select("url_hash"), bloom_state)
                 links_t = links.join(tested, "url_hash", "left")
-                if cfg.dedupe == "bloom_drop":
+                if cfg.dedupe.endswith("_drop"):
                     # reference DedupeBF parity: false positives drop forever
                     new_links = links_t.filter(~F.coalesce(F.col("maybe_seen"), F.lit(False))).drop("maybe_seen")
-                else:  # bloom_prefilter: exact check only for maybe-seen
+                else:  # *_prefilter: exact check only for maybe-seen
                     sure_new = links_t.filter(~F.coalesce(F.col("maybe_seen"), F.lit(False))).drop("maybe_seen")
                     maybe = links_t.filter(F.coalesce(F.col("maybe_seen"), F.lit(False))).drop("maybe_seen")
                     new_links = sure_new.unionByName(exact_new(maybe, seen))
@@ -427,10 +565,19 @@ class Engine:
                 F.lit(0).cast("long").alias("not_before"),
             ).persist()
 
+            if _TRACE:
+                tt = time.time()
+                rb.count(); tt = _trace("mat:rb", tt)
+                admitted.count(); tt = _trace("mat:admitted", tt)
+                processed.count(); tt = _trace("mat:processed(join+udf)", tt)
+                new_rows.count(); tt = _trace("mat:new_rows(dedupe+seq)", tt)
+
             # ---- commit: state snapshots + log/metrics appends ----------
+            t = time.time()
             rd = self._round_dir(root, r + 1)
             log_path = os.path.join(rd, "fetched_log")
             log_df.write.mode("overwrite").parquet(log_path)
+            t = _trace("log_write", t)
             if cfg.scrape_spec:
                 extracted_df.write.mode("overwrite").parquet(os.path.join(rd, "extracted"))
 
@@ -440,7 +587,10 @@ class Engine:
                 .unionByName(retry.select(*frontier.columns))
                 .unionByName(new_rows.select(*frontier.columns))
             )
-            frontier2 = self._write_state(root, r + 1, "frontier", new_frontier)
+            frontier2 = self._write_state(
+                root, r + 1, "frontier", new_frontier, n_parts=cfg.state_partitions
+            )
+            t = _trace("frontier_write", t)
             # seen is APPEND-ONLY: write only this round's delta (at cluster
             # scale: an Iceberg append into a url_hash-bucketed table — never
             # a rewrite of the accumulated membership set).
@@ -449,6 +599,7 @@ class Engine:
                 new_rows.select("url_hash", "url", F.lit(r + 1).alias("round")),
             )
             seen_paths.append(os.path.join(rd, "seen_delta"))
+            t = _trace("seen_write", t)
             if self._bloom:
                 bloom2 = self._bloom.add(new_rows.select("url_hash"), bloom_state)
                 bloom_state = self._write_state(root, r + 1, "bloom", bloom2)
@@ -475,6 +626,7 @@ class Engine:
                 .unionByName(_st(new_rows, "enqueued"))
             )
             counts = stage_counts.collect()
+            t = _trace("metrics_collect", t)
             by_stage: dict[str, int] = {}
             for row in counts:
                 by_stage[row["stage"]] = by_stage.get(row["stage"], 0) + row["n"]
@@ -508,12 +660,14 @@ class Engine:
                 },
             )
 
-            fetched.unpersist()
-            parsed.unpersist()
+            rb.unpersist()
+            admitted.unpersist()
+            processed.unpersist()
             new_rows.unpersist()
             frontier = frontier2
             r += 1
             rounds_run += 1
+            crawl_wall += time.time() - _round_t0
 
             if cfg.strict and by_stage.get("perm_error", 0) > 0:
                 raise CrawlError(
@@ -554,6 +708,7 @@ class Engine:
             metrics=metrics,
             extracted=extracted,
             state_dir=root,
+            crawl_wall_sec=round(crawl_wall, 3),
         )
 
 

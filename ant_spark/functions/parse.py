@@ -108,14 +108,22 @@ def scrape(html_doc: Node, spec: dict[str, Any]) -> dict[str, str]:
 
 
 def parse_page(
-    html: bytes | str | None, base_url: str, spec: dict[str, Any] | None = None
+    html: bytes | str | None,
+    base_url: str,
+    spec: dict[str, Any] | None = None,
+    link_selector: str = "a[href]",
 ) -> tuple[list[str], str, str, dict[str, str]]:
-    """One parse → (links, text, title, scraped). The fusion point."""
+    """One parse → (links, text, title, scraped). The fusion point.
+
+    ``link_selector`` parameterizes link discovery (reference ``Page.Next``,
+    page.go:103-105 — e.g. pagination via 'a.next'); default is Page.URLs'
+    ``a[href]``.
+    """
     if html is None:
         return [], "", "", {}
     doc = parse(html)
     links: list[str] = []
-    for node in compile_selector("a[href]").match_all(doc):
+    for node in compile_selector(link_selector).match_all(doc):
         href = node.attr("href")
         if href is None:
             continue
@@ -143,7 +151,8 @@ def parse_page(
 # Spark surface
 
 
-def make_parse_udf(spec: dict[str, Any] | None = None):
+def make_parse_udf(spec: dict[str, Any] | None = None,
+                   link_selector: str = "a[href]"):
     """Fused parse UDF: (url: string, html: binary) → PARSE_OUT struct.
 
     ``spec`` is compiled once on the driver, captured by closure, shipped in
@@ -160,7 +169,7 @@ def make_parse_udf(spec: dict[str, Any] | None = None):
         titles: list[str] = []
         scraped: list[dict[str, str]] = []
         for u, h in zip(url, html):
-            l, t, ti, s = parse_page(h, u or "", spec)
+            l, t, ti, s = parse_page(h, u or "", spec, link_selector)
             links.append(l)
             texts.append(t)
             titles.append(ti)
@@ -263,6 +272,23 @@ def make_text_udf(selector: str | None = None):
         return html.map(one)
 
     return text_udf
+
+
+def make_attr_udf(selector: str, attr: str):
+    """First matched node's attribute (reference List.Attr, list.go:84-89)."""
+    from pyspark.sql.types import StringType
+
+    @pandas_udf(StringType())
+    def attr_udf(html: pd.Series) -> pd.Series:
+        def one(h):
+            if h is None:
+                return None
+            node = compile_selector(selector).match_first(parse(h))
+            return node.attr(attr) if node is not None else None
+
+        return html.map(one)
+
+    return attr_udf
 
 
 def make_links_udf():

@@ -122,6 +122,54 @@ def host_budget_expr(
     return F.greatest(F.floor(budget), F.lit(1)).cast("long")
 
 
+def rule_budget(
+    frontier: DataFrame,
+    rules: list[tuple[str, str, int]],
+    round_seconds: float,
+    order_cols: list[str] | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """LimitPattern / LimitRegexp (limiters.go:60-88): per-rule token buckets.
+
+    ``rules``: (kind, expr, n) with kind in {'pattern','regexp'}; subject is
+    host+path WITHOUT the leading-'/' coercion (limiters match the raw
+    ``u.Host + u.Path`` — unlike matchers, limiters.go:63 vs matchers.go:68).
+    A row is tagged with the FIRST matching rule (reference applies every
+    matching limiter serially; the per-round equivalent of multiple buckets
+    is the min budget — first-match is the documented simplification, exact
+    multi-bucket mode composes by calling this repeatedly).
+    Returns (admitted, deferred).
+    """
+    from ant_spark.functions.urlnorm import hostpath_of
+    from ant_spark.operators.matchers import glob_to_regex
+
+    order_cols = order_cols or ["seq"]
+    subject = hostpath_of(F.col("url"))
+    rule_id = F.lit(-1)
+    budget = F.lit(None).cast("long")
+    expr = None
+    bexpr = None
+    for i, (kind, pat, n) in enumerate(rules):
+        cond = (
+            subject.rlike(glob_to_regex(pat))
+            if kind == "pattern"
+            else subject.rlike(pat)
+        )
+        b = F.lit(max(1, int(n * round_seconds)))
+        expr = F.when(cond, F.lit(i)) if expr is None else expr.when(cond, F.lit(i))
+        bexpr = F.when(cond, b) if bexpr is None else bexpr.when(cond, b)
+    rule_id = expr.otherwise(F.lit(-1))
+    budget = bexpr.otherwise(F.lit(None))
+
+    tagged = frontier.withColumn("_rule", rule_id).withColumn("_rb", budget)
+    unlimited = tagged.filter(F.col("_rule") == -1).drop("_rule", "_rb")
+    limited = tagged.filter(F.col("_rule") >= 0)
+    w = Window.partitionBy("_rule").orderBy(*order_cols)
+    ranked = limited.withColumn("_rk", F.row_number().over(w))
+    admitted = ranked.filter(F.col("_rk") <= F.col("_rb")).drop("_rule", "_rb", "_rk")
+    deferred = ranked.filter(F.col("_rk") > F.col("_rb")).drop("_rule", "_rb", "_rk")
+    return unlimited.unionByName(admitted), deferred
+
+
 def global_limit(frontier: DataFrame, n: int, order_cols: list[str] | None = None) -> tuple[DataFrame, DataFrame]:
     """``Limit(n)`` — global cap per round (limiters.go:93-98).
 

@@ -19,6 +19,10 @@ ENGINE_CONF: dict[str, str] = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Default 64MB advisory lets AQE coalesce html-heavy stages down to a
+    # handful of tasks, capping the parse UDF's CPU parallelism. 16MB keeps
+    # CPU-bound Arrow-UDF stages wide while still bounding tiny-task count.
+    "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16MB",
     # Runtime bloom filter on the probe side of large joins — directly
     # benefits the seen-set anti-join (reference dedupe.go:70-89 analogue).
     "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
@@ -47,6 +51,14 @@ def get_spark(
     if master is None:
         cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
         master = f"local[{cpus}]"
+    # make the package importable in executor Python workers regardless of
+    # cwd (the local-mode analogue of `spark-submit --py-files ant_spark.zip`)
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    pypath = os.environ.get("PYTHONPATH", "")
+    if repo_root not in pypath.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            f"{repo_root}{os.pathsep}{pypath}" if pypath else repo_root
+        )
     builder = SparkSession.builder.appName(app_name).master(master)
     conf = dict(ENGINE_CONF)
     if extra_conf:

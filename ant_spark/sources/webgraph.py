@@ -49,6 +49,10 @@ class GraphConfig:
     robots_disallow_hosts: int = 4  # first k hosts disallow /private
     crawl_delay_hosts: int = 2  # first k hosts set crawl-delay
     crawl_delay: float = 1.0
+    para_min: int = 8  # words per paragraph (page weight knob)
+    para_max: int = 24
+    n_paras: int = 1
+    rich_markup: bool = False  # wrap every 5th word in <b>/<i> (node count ~ real pages)
     base_ts: dt.datetime = field(
         default_factory=lambda: dt.datetime(2025, 1, 1, tzinfo=dt.timezone.utc)
     )
@@ -151,28 +155,43 @@ _WORDS = (
 ).split()
 
 
-def _para(cfg: GraphConfig, h: int, j: int) -> str:
-    n = 8 + _mix(cfg.seed, h, j, 5) % 17
-    return " ".join(
-        _WORDS[_mix(cfg.seed, h, j, 5, i) % len(_WORDS)] for i in range(n)
-    )
+def _para(cfg: GraphConfig, h: int, j: int, p: int = 0) -> str:
+    import random
+
+    rng = random.Random(_mix(cfg.seed, h, j, 5, p))  # deterministic per page
+    span = max(1, cfg.para_max - cfg.para_min)
+    n = cfg.para_min + rng.randrange(span)
+    return " ".join(rng.choices(_WORDS, k=n))
 
 
 def render_page(cfg: GraphConfig, sizes: list[int], h: int, j: int) -> tuple[str, str]:
     """Returns (html, text). text is exactly what htmldom.text(parse(html))
     yields for this template — pinned by tests at every scale."""
     title = f"{host_name(cfg, h)} page {j}"
-    para = _para(cfg, h, j)
+    paras = [_para(cfg, h, j, p) for p in range(cfg.n_paras)]
     links = _links_of(cfg, sizes, h, j)
     anchors = "".join(f'<li><a href="{href}">{txt}</a></li>' for href, txt in links)
+    if cfg.rich_markup:
+        # inline marks raise DOM node count toward real-page territory while
+        # keeping extracted text identical (spaces live in text nodes).
+        def mark(p_str: str) -> str:
+            ws = p_str.split(" ")
+            return " ".join(
+                f"<b>{w}</b>" if i % 5 == 2 else (f"<i>{w}</i>" if i % 5 == 4 else w)
+                for i, w in enumerate(ws)
+            )
+
+        para_html = "".join(f"<p>{mark(p)}</p>" for p in paras)
+    else:
+        para_html = "".join(f"<p>{p}</p>" for p in paras)
     html = (
         "<!DOCTYPE html>\n"
         f"<html><head><title>{title}</title></head>"
-        f"<body><h1>{title}</h1><p>{para}</p><ul>{anchors}</ul></body></html>"
+        f"<body><h1>{title}</h1>{para_html}<ul>{anchors}</ul></body></html>"
     )
-    # text parity: title + h1 + p + anchor texts, no separators added by the
-    # template (all text nodes are inside elements; no inter-tag whitespace).
-    text = title + title + para + "".join(txt for _, txt in links)
+    # text parity: title + h1 + paras + anchor texts, no separators added by
+    # the template (all text nodes inside elements; no inter-tag whitespace).
+    text = title + title + "".join(paras) + "".join(txt for _, txt in links)
     return html, text
 
 

@@ -1,0 +1,135 @@
+"""API-surface parity: pattern/regexp rate limits, cache freshness, scrape
+spec E2E (the quotes example shape), link_selector, cuckoo dedupe mode."""
+
+import datetime as dt
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from ant_spark import schemas
+from ant_spark.engine import CrawlConfig, Engine
+from ant_spark.sources.webgraph import example_site
+
+
+def test_rule_budget_pattern_and_regexp(spark):
+    from ant_spark.operators.politeness import rule_budget
+
+    rows = [
+        (f"http://a.test/x/{i}", i, "a.test", i) for i in range(6)
+    ] + [(f"http://b.test/y/{i}", 100 + i, "b.test", 100 + i) for i in range(4)]
+    fr = spark.createDataFrame(rows, "url string, url_hash long, host string, seq long")
+    admitted, deferred = rule_budget(
+        fr,
+        [("pattern", "a.test/x/*", 2), ("regexp", "b\\.test/y", 3)],
+        round_seconds=1.0,
+    )
+    a = sorted(r["seq"] for r in admitted.collect())
+    assert a == [0, 1, 100, 101, 102]
+    assert deferred.count() == 5
+
+
+def test_cache_freshness_and_merge(spark):
+    from ant_spark.operators.cache import fresh_only, merge_fetched
+
+    base = dt.datetime(2025, 1, 1, tzinfo=dt.timezone.utc)
+    pages = spark.createDataFrame(
+        [
+            ("http://x/1", base),
+            ("http://x/2", base + dt.timedelta(hours=3)),
+        ],
+        "url string, warc_ts timestamp",
+    )
+    now = base + dt.timedelta(hours=4)
+    fresh = fresh_only(pages, F.lit(now), max_age_seconds=7200)
+    assert [r["url"] for r in fresh.collect()] == ["http://x/2"]
+
+    refetched = spark.createDataFrame(
+        [("http://x/1", base + dt.timedelta(hours=5))],
+        "url string, warc_ts timestamp",
+    )
+    merged = merge_fetched(pages, refetched)
+    got = {r["url"]: r["warc_ts"] for r in merged.collect()}
+    assert got["http://x/1"].hour == 5  # newest wins
+    assert len(got) == 2
+
+
+@pytest.fixture(scope="module")
+def example(spark):
+    pages_pdf, robots_pdf, seeds = example_site()
+    return (
+        spark.createDataFrame(pages_pdf, schema=schemas.PAGES),
+        spark.createDataFrame(robots_pdf, schema=schemas.ROBOTS),
+        seeds,
+    )
+
+
+def test_scrape_spec_e2e(spark, example):
+    """The quotes-style extraction (reference Readme + json_test.go:12-53):
+    '.project h1' over /about.html yields name=Ant."""
+    pages, robots, seeds = example
+    cfg = CrawlConfig(
+        max_rounds=6,
+        scrape_spec={"name": ".project h1", "next": "a.next@href"},
+    )
+    res = Engine(spark, pages, robots, cfg).run(seeds)
+    assert res.extracted is not None
+    data = {r["url"]: r["data"] for r in res.extracted.collect()}
+    assert data["http://example.com/about.html"]["name"] == "Ant"
+    assert data["http://example.com/about.html"]["next"] == "/a.html"
+    assert data["http://example.com/"]["name"] == ""
+
+
+def test_link_selector_pagination(spark, example):
+    """Page.Next semantics: crawl following only 'a.next' links — from /
+    nothing matches, so with seed /about.html only /a.html is discovered."""
+    pages, robots, _ = example
+    cfg = CrawlConfig(max_rounds=6, link_selector="a.next")
+    res = Engine(spark, pages, robots, cfg).run(["http://example.com/about.html"])
+    urls = sorted(r["url"] for r in res.fetched_log.collect())
+    assert urls == ["http://example.com/a.html", "http://example.com/about.html"]
+
+
+def test_cuckoo_drop_mode_crawls(spark, example):
+    """cuckoo_drop reproduces DedupeBF shape: crawl completes, no URL twice
+    (false-positive drops possible but astronomically unlikely at 6 urls)."""
+    pages, robots, seeds = example
+    cfg = CrawlConfig(max_rounds=8, dedupe="cuckoo_drop", bloom_buckets=4)
+    res = Engine(spark, pages, robots, cfg).run(seeds)
+    urls = [r["url"] for r in res.fetched_log.collect()]
+    assert len(urls) == len(set(urls))
+    assert "http://example.com/about.html" in urls
+
+
+def test_bloom_prefilter_matches_exact(spark, example):
+    pages, robots, seeds = example
+    exact = Engine(spark, pages, robots, CrawlConfig(max_rounds=8)).run(seeds)
+    bloom = Engine(
+        spark, pages, robots,
+        CrawlConfig(max_rounds=8, dedupe="bloom_prefilter", bloom_buckets=4,
+                    bloom_bits=1 << 16),
+    ).run(seeds)
+    assert sorted(r["url"] for r in exact.fetched_log.collect()) == sorted(
+        r["url"] for r in bloom.fetched_log.collect()
+    )
+
+
+def test_fetch_one(spark, example):
+    from ant_spark.engine import fetch_one
+
+    pages, _, _ = example
+    row = fetch_one(spark, pages, "HTTP://EXAMPLE.COM/about.html").collect()[0]
+    assert row["title"] == ""
+    assert row["links"] == ["http://example.com/", "http://example.com/a.html"]
+
+
+def test_host_rate_limits_rounds(spark, example):
+    """LimitHostname(1): one fetch per round → ≥5 rounds for 5 pages."""
+    pages, robots, seeds = example
+    cfg = CrawlConfig(max_rounds=12, host_rates={"example.com": 1})
+    res = Engine(spark, pages, robots, cfg).run(seeds)
+    assert res.pages_fetched == 5
+    assert res.rounds >= 5
+    # FIFO order preserved under budget pressure
+    seqs = [r["seq"] for r in res.fetched_log.orderBy("round").collect()]
+    assert seqs == sorted(seqs)

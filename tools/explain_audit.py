@@ -1,0 +1,124 @@
+"""Physical-plan audit — prints and checks the plans that matter at scale.
+
+Checks (ARCHITECTURE.md §6):
+  1. robots stage uses BroadcastHashJoin;
+  2. pages scan prunes columns (html absent outside the parse stage) and
+     pushes filters;
+  3. dedupe is a hash anti-join keyed on url_hash;
+  4. text/similarity operators stay inside WholeStageCodegen with no
+     Python eval (BatchEvalPython/ArrowEvalPython) in their plans.
+
+Usage: python tools/explain_audit.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import io
+import os
+import sys
+from contextlib import redirect_stdout
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def check(name: str, plan: str, must: list[str], must_not: list[str]) -> bool:
+    ok = True
+    for m in must:
+        if m not in plan:
+            print(f"  MISSING [{m}] in {name}")
+            ok = False
+    for m in must_not:
+        if m in plan:
+            print(f"  FORBIDDEN [{m}] present in {name}")
+            ok = False
+    print(f"{'PASS' if ok else 'FAIL'}  {name}")
+    return ok
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+
+    from pyspark.sql import functions as F
+
+    from ant_spark import schemas
+    from ant_spark.functions.urlnorm import path_of, url_hash
+    from ant_spark.operators import robots as robots_ops
+    from ant_spark.operators import textops as T
+    from ant_spark.operators.dedupe import exact_new
+    from ant_spark.operators.similarity import brute_force_topk
+    from ant_spark.session import get_spark
+    from ant_spark.sources.webgraph import GraphConfig, generate
+
+    spark = get_spark(master="local[8]", extra_conf={"spark.sql.shuffle.partitions": "8"})
+    results = []
+
+    import tempfile
+
+    pages_pdf, robots_pdf, _ = generate(GraphConfig(n_pages=200, n_hosts=4))
+    pages_dir = tempfile.mkdtemp(prefix="audit_pages_") + "/pages"
+    spark.createDataFrame(pages_pdf, schema=schemas.PAGES).write.parquet(pages_dir)
+    pages = spark.read.parquet(pages_dir)  # real scan → pruning observable
+    robots = spark.createDataFrame(robots_pdf, schema=schemas.ROBOTS)
+    frontier = pages.select(
+        "url",
+        url_hash(F.col("url")).alias("url_hash"),
+        F.substring_index(F.substring_index("url", "://", -1), "/", 1).alias("host"),
+        F.lit(0).alias("seq").cast("long"),
+    )
+
+    # 1. robots broadcast join
+    rb = robots_ops.with_robots(frontier, robots, "antbot", path_of(F.col("url")))
+    p = plan_of(rb)
+    results.append(check("robots_broadcast_join", p, ["BroadcastHashJoin"], ["SortMergeJoin"]))
+
+    # 2. column pruning: a metadata-only projection over pages must not read html
+    meta = pages.filter(F.col("lang") == "en").select("url", "warc_ts")
+    p = plan_of(meta)
+    read_schema = p.split("ReadSchema:")[-1].splitlines()[0] if "ReadSchema:" in p else "html"
+    html_read = "html" in read_schema
+    print(f"{'PASS' if not html_read else 'FAIL'}  pages_scan_prunes_html "
+          f"(ReadSchema: {read_schema.strip()})")
+    results.append(not html_read)
+    results.append(check("pages_scan_pushes_filter", p, ["PushedFilters: [IsNotNull(lang)"], []))
+
+    # 3. dedupe anti-join shape
+    seen = frontier.select("url_hash", "url").limit(10)
+    anti = exact_new(frontier, seen)
+    p = plan_of(anti)
+    results.append(check("dedupe_anti_join", p, ["LeftAnti"], []))
+
+    # 4. analytics stay JVM-side
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    analytics = docs.select(
+        T.language_id(F.col("text")).alias("lang_id"),
+        T.quality_score(F.col("text")).alias("q"),
+        T.token_count(F.col("text")).alias("tok"),
+        T.fingerprint(F.col("text")).alias("fp"),
+        T.simhash64(F.col("text")).alias("sh"),
+    )
+    p = plan_of(analytics)
+    results.append(
+        check("textops_no_python", p, ["[codegen id :"],
+              ["BatchEvalPython", "ArrowEvalPython"])
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    topk = brute_force_topk(emb.limit(4), emb, k=3)
+    p = plan_of(topk)
+    results.append(
+        check("similarity_no_python", p, [], ["BatchEvalPython", "ArrowEvalPython"])
+    )
+
+    print(f"\n{'ALL PASS' if all(results) else 'AUDIT FAILURES'}")
+    sys.exit(0 if all(results) else 1)
+
+
+if __name__ == "__main__":
+    main()
