@@ -290,7 +290,7 @@ def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ant_spark.operators import textops as T
 
     docs = _t(spark, sf_dir, "documents")
-    return docs.select("doc_id", T.simhash64(F.col("text")).alias("simhash"))
+    return T.simhash64_flat(docs, "text")
 
 
 def _q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -573,33 +573,56 @@ class Engine:
                 new_rows.count(); tt = _trace("mat:new_rows(dedupe+seq)", tt)
 
             # ---- commit: state snapshots + log/metrics appends ----------
+            # Materialize the two shared caches once, then run the three
+            # independent writes as CONCURRENT Spark jobs (one session,
+            # separate threads — the scheduler interleaves their stages).
             t = time.time()
+            processed.count()
+            new_rows.count()
+            t = _trace("materialize", t)
+
             rd = self._round_dir(root, r + 1)
             log_path = os.path.join(rd, "fetched_log")
-            log_df.write.mode("overwrite").parquet(log_path)
-            t = _trace("log_write", t)
-            if cfg.scrape_spec:
-                extracted_df.write.mode("overwrite").parquet(os.path.join(rd, "extracted"))
-
             new_frontier = (
                 waiting.select(*frontier.columns)
                 .unionByName(deferred.select(*frontier.columns))
                 .unionByName(retry.select(*frontier.columns))
                 .unionByName(new_rows.select(*frontier.columns))
             )
-            frontier2 = self._write_state(
-                root, r + 1, "frontier", new_frontier, n_parts=cfg.state_partitions
-            )
-            t = _trace("frontier_write", t)
             # seen is APPEND-ONLY: write only this round's delta (at cluster
             # scale: an Iceberg append into a url_hash-bucketed table — never
             # a rewrite of the accumulated membership set).
-            self._write_state(
-                root, r + 1, "seen_delta",
-                new_rows.select("url_hash", "url", F.lit(r + 1).alias("round")),
+            seen_delta = new_rows.select(
+                "url_hash", "url", F.lit(r + 1).alias("round")
             )
+
+            from concurrent.futures import ThreadPoolExecutor
+
+            def _w_log():
+                log_df.write.mode("overwrite").parquet(log_path)
+                if cfg.scrape_spec:
+                    extracted_df.write.mode("overwrite").parquet(
+                        os.path.join(rd, "extracted")
+                    )
+
+            def _w_frontier():
+                return self._write_state(
+                    root, r + 1, "frontier", new_frontier,
+                    n_parts=cfg.state_partitions,
+                )
+
+            def _w_seen():
+                return self._write_state(root, r + 1, "seen_delta", seen_delta)
+
+            with ThreadPoolExecutor(max_workers=3) as pool:
+                f_log = pool.submit(_w_log)
+                f_frontier = pool.submit(_w_frontier)
+                f_seen = pool.submit(_w_seen)
+                f_log.result()
+                frontier2 = f_frontier.result()
+                f_seen.result()
             seen_paths.append(os.path.join(rd, "seen_delta"))
-            t = _trace("seen_write", t)
+            t = _trace("commit_writes(parallel)", t)
             if self._bloom:
                 bloom2 = self._bloom.add(new_rows.select("url_hash"), bloom_state)
                 bloom_state = self._write_state(root, r + 1, "bloom", bloom2)

@@ -387,3 +387,126 @@ class Selector:
 def compile_selector(source: str) -> Selector:
     """Compile-once cache, per executor process (reference selectors.go:39-51)."""
     return Selector(source)
+
+
+class _StreamExtractor(HTMLParser):
+    """DOM-less single-pass extractor for the parse-UDF hot path.
+
+    Text-node concatenation order equals document order regardless of tree
+    shape, so producing exactly what parse()+fast_extract would only needs
+    _DomParser's *inclusion* rule mirrored: a data chunk is kept iff the
+    element stack is non-empty (html/head/body are never pushed there) OR
+    the body has been implicitly/explicitly opened. Parity with the DOM
+    path is pinned by tests over the full synthetic corpus + fixtures.
+    """
+
+    def __init__(self):
+        super().__init__(convert_charrefs=True)
+        self.text_parts: list[str] = []
+        self.hrefs: list[str] = []
+        self.title: str | None = None
+        self._stack: list[str] = []  # mirrors _DomParser._stack tags
+        self._in_body = False  # mirrors _mode == "in_body"
+        self._title_open = False
+        self._title_parts: list[str] = []
+
+    def _open(self, tag, attrs, push: bool):
+        if tag == "a":
+            for k, v in attrs:
+                if k == "href":
+                    self.hrefs.append(v if v is not None else "")
+                    break
+        if tag in ("html", "head"):
+            return
+        if tag == "body":
+            self._in_body = True
+            return
+        if not self._stack and not self._in_body and tag not in HEAD_ELEMENTS:
+            self._in_body = True  # _ensure_body() trigger
+        if tag == "title" and self.title is None and not self._title_open:
+            self._title_open = True
+            self._title_parts = []
+        if push and tag not in VOID_ELEMENTS:
+            self._stack.append(tag)
+
+    def handle_starttag(self, tag, attrs):
+        self._open(tag, attrs, push=True)
+
+    def handle_startendtag(self, tag, attrs):
+        self._open(tag, attrs, push=False)
+        if tag == "title" and self._title_open:
+            self.title = ""
+            self._title_open = False
+
+    def handle_endtag(self, tag):
+        if tag in ("html", "body"):
+            return
+        if tag == "head":
+            self._in_body = False  # _DomParser sets mode back to before_body
+            return
+        # pop to nearest match, like _DomParser.handle_endtag
+        for i in range(len(self._stack) - 1, -1, -1):
+            if self._stack[i] == tag:
+                del self._stack[i:]
+                break
+        if tag == "title" and self._title_open:
+            self.title = "".join(self._title_parts)
+            self._title_open = False
+
+    def handle_data(self, data):
+        if not data:
+            return
+        if not self._stack and not self._in_body and data.strip() == "":
+            return  # dropped by _DomParser.handle_data's top-level rule
+        if not self._stack and not self._in_body:
+            self._in_body = True  # non-ws top-level text forces a body
+        self.text_parts.append(data)
+        if self._title_open:
+            self._title_parts.append(data)
+
+
+def stream_extract(html: str | bytes) -> tuple[str, list[str], str]:
+    """One streaming pass → (text, hrefs, title); no DOM allocated."""
+    if isinstance(html, (bytes, bytearray, memoryview)):
+        html = bytes(html).decode("utf-8", errors="replace")
+    p = _StreamExtractor()
+    p.feed(html)
+    p.close()
+    if p.title is None and p._title_open:  # unclosed <title>
+        p.title = "".join(p._title_parts)
+    return "".join(p.text_parts), p.hrefs, p.title or ""
+
+
+def fast_extract(root: Node) -> tuple[str, list[str], str]:
+    """One DFS pass → (text, hrefs-in-document-order, title).
+
+    Equivalent to text(root) + match_all('a[href]') hrefs + first 'title'
+    text, fused into a single traversal — the hot path of the parse UDF when
+    no scrape spec / custom link selector is configured. Semantics identical
+    to the general path (pinned by tests).
+    """
+    text_parts: list[str] = []
+    hrefs: list[str] = []
+    title: str | None = None
+    # iterative pre-order DFS, matching document order
+    stack = [root]
+    while stack:
+        n = stack.pop()
+        t = n.type
+        if t == TEXT:
+            text_parts.append(n.data)
+            continue
+        if t == ELEMENT:
+            tag = n.tag
+            if tag == "a":
+                href = n.attr("href")
+                if href is not None:
+                    hrefs.append(href)
+            elif tag == "title" and title is None:
+                title = text(n)
+        elif t == COMMENT or t == DOCTYPE:
+            continue
+        c = n.children
+        if c:
+            stack.extend(reversed(c))
+    return "".join(text_parts), hrefs, title or ""

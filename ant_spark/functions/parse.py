@@ -34,7 +34,15 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
-from ant_spark.functions.htmldom import ELEMENT, Node, compile_selector, parse, text
+from ant_spark.functions.htmldom import (
+    ELEMENT,
+    Node,
+    compile_selector,
+    fast_extract,
+    parse,
+    stream_extract,
+    text,
+)
 from ant_spark.schemas import PARSE_OUT
 
 # --------------------------------------------------------------------------
@@ -121,12 +129,29 @@ def parse_page(
     """
     if html is None:
         return [], "", "", {}
+    if spec is None and link_selector == "a[href]":
+        # hot path: one streaming pass, no DOM (links + text + title fused)
+        txt, hrefs, title = stream_extract(html)
+        return _resolve_hrefs(hrefs, base_url), txt, title, {}
     doc = parse(html)
+    hrefs = [
+        node.attr("href")
+        for node in compile_selector(link_selector).match_all(doc)
+        if node.attr("href") is not None
+    ]
+    title_node = compile_selector("title").match_first(doc)
+    return (
+        _resolve_hrefs(hrefs, base_url),
+        text(doc),
+        text(title_node) if title_node is not None else "",
+        scrape(doc, spec) if spec else {},
+    )
+
+
+def _resolve_hrefs(hrefs: list[str], base_url: str) -> list[str]:
+    """page.resolve rules: parse, resolve relative, keep http(s) only."""
     links: list[str] = []
-    for node in compile_selector(link_selector).match_all(doc):
-        href = node.attr("href")
-        if href is None:
-            continue
+    for href in hrefs:
         try:
             scheme = urlsplit(href).scheme.lower()
         except ValueError:
@@ -138,13 +163,7 @@ def parse_page(
                 links.append(urljoin(base_url, href))
             except ValueError:
                 continue
-    title_node = compile_selector("title").match_first(doc)
-    return (
-        links,
-        text(doc),
-        text(title_node) if title_node is not None else "",
-        scrape(doc, spec) if spec else {},
-    )
+    return links
 
 
 # --------------------------------------------------------------------------

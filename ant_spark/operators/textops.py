@@ -206,6 +206,36 @@ def minhash_bands(sig_col: Column, n_bands: int, rows_per_band: int) -> Column:
     )
 
 
+def minhash_signatures_flat(
+    docs: DataFrame, text_col: str = "text", n_hashes: int = 16, k: int = 3
+) -> DataFrame:
+    """MinHash signatures, scalable formulation: explode shingles → flat md5
+    columns → groupBy(doc_id).agg(min…).
+
+    Produces exactly the same values as ``minhash_signature`` (same md5 over
+    the same shingles) but as one row of ``h0..h{n-1}`` columns. This shape
+    matters twice: (a) flat expressions stay inside whole-stage codegen —
+    the nested array(array_min(transform(...))×n) tree falls back to
+    interpreted eval and is ~30× slower; (b) the aggregation gets map-side
+    partial min combining, so at 10^10 docs the shuffle carries one partial
+    signature per (partition, doc), not the shingle stream.
+    """
+    ex = docs.select(
+        F.col("doc_id"),
+        F.explode(ngram_shingles(F.col(text_col), k)).alias("sh"),
+    )
+    hashed = ex.select(
+        "doc_id",
+        *[
+            F.md5(F.concat(F.lit(f"{i}:"), F.col("sh"))).alias(f"h{i}")
+            for i in range(n_hashes)
+        ],
+    )
+    return hashed.groupBy("doc_id").agg(
+        *[F.min(f"h{i}").alias(f"h{i}") for i in range(n_hashes)]
+    )
+
+
 def minhash_candidate_pairs(
     docs: DataFrame,
     text_col: str = "text",
@@ -221,14 +251,19 @@ def minhash_candidate_pairs(
     storage-partitioned.
     """
     rows = n_hashes // n_bands
-    sigs = docs.select(
-        F.col("doc_id"),
-        minhash_bands(
-            minhash_signature(F.col(text_col), n_hashes, k), n_bands, rows
-        ).alias("bands"),
-    )
-    banded = sigs.select(
-        "doc_id", F.posexplode("bands").alias("band_idx", "band_key")
+    sigs = minhash_signatures_flat(docs, text_col, n_hashes, k)
+    band_cols = [
+        F.md5(
+            F.concat_ws(
+                "|", *[F.col(f"h{b * rows + r}") for r in range(rows)]
+            )
+        ).alias(f"b{b}")
+        for b in range(n_bands)
+    ]
+    banded = (
+        sigs.select("doc_id", *band_cols)
+        .unpivot("doc_id", [f"b{b}" for b in range(n_bands)], "band_idx", "band_key")
+        .persist()  # self-join reads it twice; tiny (n_bands rows per doc)
     )
     a = banded.alias("a")
     b = banded.alias("b")
@@ -305,6 +340,38 @@ def simhash64(text_col: Column, k: int = 1) -> Column:
     for b, bit in enumerate(bits):
         acc = acc + F.shiftleft(bit, b)
     return acc
+
+
+def simhash64_flat(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """SimHash via explode→aggregate — same values as ``simhash64`` but flat
+    codegen-friendly expressions and map-side partial aggregation:
+    per (doc, token): 64-bit md5-derived hash; per doc: majority vote per
+    bit. Returns (doc_id, simhash)."""
+    toks = docs.select(
+        F.col("doc_id"),
+        F.explode(
+            F.array_distinct(F.split(normalized_text(F.col(text_col)), " "))
+        ).alias("tok"),
+    )
+    h = F.conv(F.substring(F.md5(F.col("tok")), 1, 15), 16, 10).cast("long")
+    bits = toks.select(
+        "doc_id",
+        *[
+            ((F.shiftright(h, b) % 2) == 1).cast("long").alias(f"b{b}")
+            for b in range(60)
+        ],
+    )
+    agg = bits.groupBy("doc_id").agg(
+        F.count("*").alias("n"),
+        *[F.sum(f"b{b}").alias(f"b{b}") for b in range(60)],
+    )
+    acc = F.lit(0).cast("long")
+    for b in range(60):
+        bit = F.when(F.col(f"b{b}") * 2 > F.col("n"), F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        acc = acc + F.shiftleft(bit, b)
+    return agg.select("doc_id", acc.alias("simhash"))
 
 
 def hamming64(a: Column, b: Column) -> Column:
