@@ -217,6 +217,13 @@ def generate(cfg: GraphConfig) -> tuple[pd.DataFrame, pd.DataFrame, list[str]]:
             )
             gid += 1
     pages = pd.DataFrame(rows)
+    # keep the nullable int column object-typed (int | None): pandas would
+    # otherwise coerce to float NaN, which Spark's non-Arrow conversion
+    # path (plain spark-submit sessions) rejects for IntegerType.
+    pages["ok_after_attempt"] = pd.Series(
+        [None if pd.isna(v) else int(v) for v in pages["ok_after_attempt"]],
+        dtype=object,
+    )
 
     robots_rows = []
     for h in range(cfg.n_hosts):
