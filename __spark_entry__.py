@@ -214,6 +214,55 @@ def _q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return marked.groupBy("user_id").agg(F.sum("new_sess").alias("n_sessions"))
 
 
+def _q_cache_fresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5 cache freshness (aggressive mode): events within 2h of the max ts
+    play 'fresh cache rows'; count per type."""
+    from ant_spark.operators.cache import fresh_only
+
+    ev = _t(spark, sf_dir, "events").withColumnRenamed("ts", "warc_ts")
+    now = ev.agg(F.max("warc_ts")).collect()[0][0]
+    fresh = fresh_only(ev, F.lit(now), max_age_seconds=7200)
+    return fresh.groupBy("event_type").agg(F.count("*").alias("n_fresh"))
+
+
+def _q_cache_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5 revalidate/MERGE: upsert the newest row per user (url analog) —
+    newest ts wins, refetched side wins ties."""
+    from ant_spark.operators.cache import merge_fetched
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("user_id").cast("string").alias("url"),
+        F.col("ts").alias("warc_ts"),
+        "event_id",
+    )
+    existing = ev.filter(F.col("event_id") % 2 == 0)
+    refetched = ev.filter(F.col("event_id") % 2 == 1)
+    merged = merge_fetched(existing, refetched)
+    return merged.select("url", "event_id")
+
+
+def _q_rate_rule_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3 LimitPattern: per-rule round budget over synthesized URLs."""
+    from ant_spark.operators.politeness import rule_budget
+
+    ev = _t(spark, sf_dir, "events")
+    fr = ev.select(
+        F.concat(
+            F.lit("http://h"), (F.col("user_id") % 5).cast("string"),
+            F.lit(".test/"),
+            F.when(F.col("event_id") % 2 == 0, F.lit("x/")).otherwise(F.lit("y/")),
+            F.col("event_id").cast("string"),
+        ).alias("url"),
+        F.col("event_id").alias("url_hash"),
+        F.concat(F.lit("h"), (F.col("user_id") % 5).cast("string"), F.lit(".test")).alias("host"),
+        F.col("event_id").alias("seq"),
+    )
+    admitted, _ = rule_budget(
+        fr, [("pattern", "h1.test/x/*", 3), ("regexp", "h2\\.test/", 5)], 1.0
+    )
+    return admitted.groupBy("host").agg(F.count("*").alias("n_admitted"))
+
+
 # --- text-analysis / dedup family ------------------------------------------
 
 
@@ -369,6 +418,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_metrics_rollup": _q_metrics_rollup,
         "crawl_union_dedup": _q_union_dedup,
         "crawl_first_occurrence": _q_first_occurrence,
+        "crawl_cache_fresh": _q_cache_fresh,
+        "crawl_cache_merge": _q_cache_merge,
+        "crawl_rate_rule_budget": _q_rate_rule_budget,
         "events_sessionize": _q_sessionize,
         # training-data text ops
         "text_language_id": _q_language_id,
@@ -594,6 +646,46 @@ def oracle_sql() -> dict[str, str]:
               SELECT user_id, event_id,
                      row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rk
               FROM events) WHERE rk = 1
+        """,
+        "crawl_cache_fresh": """
+            SELECT event_type, count(*) AS n_fresh
+            FROM events
+            WHERE ts >= (SELECT max(ts) FROM events) - INTERVAL 7200 SECONDS
+            GROUP BY event_type
+        """,
+        "crawl_cache_merge": """
+            SELECT url, event_id FROM (
+              SELECT user_id::VARCHAR AS url, event_id,
+                     row_number() OVER (
+                       PARTITION BY user_id
+                       ORDER BY ts DESC, (event_id % 2) DESC) AS rn
+              FROM events) WHERE rn = 1
+        """,
+        "crawl_rate_rule_budget": """
+            WITH fr AS (
+              SELECT
+                'h' || (user_id % 5)::VARCHAR || '.test' AS host,
+                'h' || (user_id % 5)::VARCHAR || '.test/' ||
+                  (CASE WHEN event_id % 2 = 0 THEN 'x/' ELSE 'y/' END) ||
+                  event_id::VARCHAR AS hostpath,
+                event_id AS seq
+              FROM events),
+            tagged AS (
+              SELECT *,
+                CASE WHEN regexp_full_match(hostpath, 'h1\\.test/x/.*') THEN 0
+                     WHEN regexp_matches(hostpath, 'h2\\.test/') THEN 1
+                     ELSE -1 END AS rule,
+                CASE WHEN regexp_full_match(hostpath, 'h1\\.test/x/.*') THEN 3
+                     WHEN regexp_matches(hostpath, 'h2\\.test/') THEN 5 END AS budget
+              FROM fr),
+            admitted AS (
+              SELECT host FROM tagged WHERE rule = -1
+              UNION ALL
+              SELECT host FROM (
+                SELECT host, budget,
+                       row_number() OVER (PARTITION BY rule ORDER BY seq) AS rk
+                FROM tagged WHERE rule >= 0) WHERE rk <= budget)
+            SELECT host, count(*) AS n_admitted FROM admitted GROUP BY host
         """,
         "events_sessionize": """
             SELECT user_id, sum(new_sess) AS n_sessions FROM (

@@ -1,0 +1,61 @@
+"""Property-based tests (hypothesis): normalization invariants and
+stream-vs-DOM extractor parity on adversarial inputs. Pure Python — fast."""
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from ant_spark.functions.htmldom import fast_extract, parse, stream_extract
+from ant_spark.functions.urlnorm import normalize_or_none
+
+url_chars = st.text(
+    alphabet=st.characters(
+        codec="ascii", exclude_categories=("Cc",), exclude_characters="\x7f"
+    ),
+    max_size=40,
+)
+
+
+@given(url_chars)
+@settings(max_examples=300, deadline=None)
+def test_normalize_second_application_fixed_point(s):
+    """normalize² is a fixed point.
+
+    Exact single-pass idempotency does NOT hold — faithfully to the
+    reference: Go's pathname() maps path "//" to "" (path.Join of empty
+    segments) while a later pass maps "" to "/" (url.go:61-69), so
+    "http://h//" → "http://h" → "http://h/". The engine normalizes each URL
+    exactly once (at enqueue), so only the two-pass fixed point matters.
+    """
+    once = normalize_or_none("http://example.com/" + s)
+    if once is None:
+        return
+    twice = normalize_or_none(once)
+    assert twice is not None
+    assert normalize_or_none(twice) == twice
+
+
+@given(st.text(max_size=30))
+@settings(max_examples=200, deadline=None)
+def test_normalize_never_crashes(s):
+    normalize_or_none(s)  # must return str or None, never raise
+    normalize_or_none("https://h.test/" + s)
+
+
+_html_atoms = st.sampled_from(
+    [
+        "<p>", "</p>", "<div class='x'>", "</div>", "<a href='/l'>", "</a>",
+        "<a href=''>", "<br>", "<title>", "</title>", "<head>", "</head>",
+        "<body>", "</body>", "<html>", "</html>", "<!-- c -->", "<li>",
+        "</li>", "<script>v&r;</script>", "<b>", "</b>", "text ", "  ",
+        "&amp;", "x<y", "<img src=i>", "<!DOCTYPE html>", "\n",
+        "<td>", "<tr>", "</table>", "<table>",
+    ]
+)
+
+
+@given(st.lists(_html_atoms, max_size=30))
+@settings(max_examples=300, deadline=None)
+def test_stream_matches_dom(atoms):
+    """The DOM-less hot path must equal the DOM path on ANY tag soup."""
+    html = "".join(atoms)
+    assert stream_extract(html) == fast_extract(parse(html)), html
