@@ -92,6 +92,12 @@ class CrawlConfig:
     # (_drop modes reproduce reference DedupeBF false-positive losses)
     dedupe: str = "exact"
     link_selector: str = "a[href]"  # Page.Next(selector) — page.go:103-105
+    # Queue policy (reference Queue interface, queue.go:12-49): 'fifo' is
+    # the memoryQueue's order; 'priority' dequeues by (priority asc, seq).
+    queue_policy: str = "fifo"
+    # priority for newly discovered links: Column fn over the link row
+    # (columns: url, url_hash, parent_seq, parent_depth, link_idx)
+    priority_fn: Callable | None = None
     # LimitPattern/LimitRegexp rules: (kind in {pattern,regexp}, expr, n/sec)
     pattern_rates: list = field(default_factory=list)
     max_age_seconds: float | None = None  # cache freshness (S5); needs crawl_ts
@@ -422,22 +428,25 @@ class Engine:
                     F.col("crawl_delay"),
                     cfg.host_rates or None,
                 )
+                order_cols = (
+                    ["priority", "seq"] if cfg.queue_policy == "priority" else ["seq"]
+                )
                 admitted, deferred = politeness.split_by_budget(
                     allowed.withColumn("_b", budget),
                     F.col("_b"),
-                    order_cols=["seq"],
+                    order_cols=order_cols,
                     salt=cfg.politeness_salt,
                 )
                 admitted = admitted.drop("_b", "crawl_delay")
                 deferred = deferred.drop("_b", "crawl_delay").select(*frontier.columns)
                 if cfg.pattern_rates:
                     admitted, deferred3 = politeness.rule_budget(
-                        admitted, cfg.pattern_rates, cfg.round_seconds, ["seq"]
+                        admitted, cfg.pattern_rates, cfg.round_seconds, order_cols
                     )
                     deferred = deferred.unionByName(deferred3.select(*frontier.columns))
                 if cfg.global_rate is not None:
                     admitted, deferred2 = politeness.global_limit(
-                        admitted, int(cfg.global_rate * cfg.round_seconds), ["seq"]
+                        admitted, int(cfg.global_rate * cfg.round_seconds), order_cols
                     )
                     deferred = deferred.unionByName(deferred2.select(*frontier.columns))
             admitted = admitted.persist()
@@ -555,12 +564,17 @@ class Engine:
                         + p.cast("long")
                     ),
                 )
+            priority_col = (
+                cfg.priority_fn().cast("double")
+                if cfg.priority_fn is not None
+                else F.lit(0.0)
+            )
             new_rows = new_rows.select(
                 "url", "url_hash",
                 host_of(F.col("url")).alias("host"),
                 (F.col("parent_depth") + 1).alias("depth"),
                 "seq",
-                F.lit(0.0).alias("priority"),
+                priority_col.alias("priority"),
                 F.lit(1).alias("attempt"),
                 F.lit(0).cast("long").alias("not_before"),
             ).persist()
