@@ -349,6 +349,19 @@ def _q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.minhash_candidate_pairs(docs, "text", n_hashes=8, n_bands=4, k=3)
 
 
+def _q_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed curation pipeline: lang filter → quality floor → exact
+    dedup → minhash+jaccard near-dup removal (operators/curation.py)."""
+    from ant_spark.operators.curation import curate
+
+    docs = _t(spark, sf_dir, "documents")
+    kept, _ = curate(
+        docs, langs=("en",), min_quality=0.5, jaccard_threshold=0.8,
+        n_hashes=8, n_bands=4, k=3,
+    )
+    return kept
+
+
 # --- embeddings / similarity search -----------------------------------------
 
 
@@ -431,6 +444,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_jaccard_pairs": _q_jaccard_pairs,
         "text_simhash": _q_simhash,
         "text_minhash_lsh_pairs": _q_minhash_lsh_pairs,
+        "text_curation_pipeline": _q_curation,
         # similarity search
         "emb_cosine_topk": _q_cosine_topk,
         "emb_lsh_bucket": _q_lsh_bucket,
@@ -754,6 +768,44 @@ def oracle_sql() -> dict[str, str]:
             FROM banded a JOIN banded b
               ON a.band_idx = b.band_idx AND a.band_key = b.band_key
              AND a.doc_id < b.doc_id
+        """,
+        "text_curation_pipeline": f"""
+            WITH enriched AS (
+              SELECT doc_id, text,
+                {_lang_score_sql()} AS lang_id,
+                {_quality_sql()} AS quality,
+                {_TOKEN_SQL}::INT AS n_tokens,
+                md5({_NORM_TEXT_SQL}) AS fp
+              FROM documents),
+            qual AS (
+              SELECT * FROM enriched
+              WHERE lang_id IN ('en') AND quality >= 0.5),
+            exact_kept AS (
+              SELECT * FROM (
+                SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+                FROM qual) WHERE rn = 1),
+            sig AS (
+              SELECT doc_id,
+                {', '.join(f"list_aggregate(list_transform({_SHINGLES_SQL}, x -> md5('{i}:' || x)), 'min') AS h{i}" for i in range(8))}
+              FROM exact_kept),
+            banded AS (
+              {' UNION ALL '.join(f"SELECT doc_id, {b} AS band_idx, md5(h{2*b} || '|' || h{2*b+1}) AS band_key FROM sig" for b in range(4))}),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+              FROM banded a JOIN banded b
+                ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+               AND a.doc_id < b.doc_id),
+            shd AS (
+              SELECT doc_id, list_distinct({_SHINGLES_SQL}) AS sd FROM exact_kept),
+            conf AS (
+              SELECT da, db FROM cand
+              JOIN shd a ON cand.da = a.doc_id
+              JOIN shd b ON cand.db = b.doc_id
+              WHERE round(len(list_intersect(a.sd, b.sd))::DOUBLE
+                    / (len(a.sd) + len(b.sd) - len(list_intersect(a.sd, b.sd))), 4) >= 0.8)
+            SELECT doc_id, lang_id, quality, n_tokens
+            FROM exact_kept
+            WHERE doc_id NOT IN (SELECT db FROM conf)
         """,
         "emb_cosine_topk": f"""
             SELECT query_id, neighbor_id, rank, round(sim, 4) AS cos_sim FROM (
