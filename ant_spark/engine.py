@@ -628,21 +628,9 @@ class Engine:
             def _w_seen():
                 return self._write_state(root, r + 1, "seen_delta", seen_delta)
 
-            with ThreadPoolExecutor(max_workers=3) as pool:
-                f_log = pool.submit(_w_log)
-                f_frontier = pool.submit(_w_frontier)
-                f_seen = pool.submit(_w_seen)
-                f_log.result()
-                frontier2 = f_frontier.result()
-                f_seen.result()
-            seen_paths.append(os.path.join(rd, "seen_delta"))
-            t = _trace("commit_writes(parallel)", t)
-            if self._bloom:
-                bloom2 = self._bloom.add(new_rows.select("url_hash"), bloom_state)
-                bloom_state = self._write_state(root, r + 1, "bloom", bloom2)
-
             # per-partition lineage counters (north_rule) — ONE job for all
-            # stages (every input is cached or a small parquet scan).
+            # stages (every input is cached or a small parquet scan); runs
+            # concurrently with the commit writes below.
             pid = F.spark_partition_id().alias("partition")
 
             def _st(df, name):
@@ -662,8 +650,21 @@ class Engine:
                 .unionByName(_st(perm_fail, "perm_error"))
                 .unionByName(_st(new_rows, "enqueued"))
             )
-            counts = stage_counts.collect()
-            t = _trace("metrics_collect", t)
+            with ThreadPoolExecutor(max_workers=4) as pool:
+                f_log = pool.submit(_w_log)
+                f_frontier = pool.submit(_w_frontier)
+                f_seen = pool.submit(_w_seen)
+                f_counts = pool.submit(stage_counts.collect)
+                f_log.result()
+                frontier2 = f_frontier.result()
+                f_seen.result()
+                counts = f_counts.result()
+            seen_paths.append(os.path.join(rd, "seen_delta"))
+            t = _trace("commit_writes+metrics(parallel)", t)
+            if self._bloom:
+                bloom2 = self._bloom.add(new_rows.select("url_hash"), bloom_state)
+                bloom_state = self._write_state(root, r + 1, "bloom", bloom2)
+
             by_stage: dict[str, int] = {}
             for row in counts:
                 by_stage[row["stage"]] = by_stage.get(row["stage"], 0) + row["n"]
