@@ -133,11 +133,12 @@ def _q_politeness_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_retry_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S2 retry: attempt²·50ms capped at 1s; rows whose gate falls within
     1000ms of their own timestamp (pure column algebra, fetcher.go:248-270)."""
+    # ts is TIMESTAMP_NTZ; pin the session tz so the NTZ→timestamp cast is
+    # identity (matches DuckDB epoch_ms) even if the driver session isn't UTC
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     ev = _t(spark, sf_dir, "events")
     attempt = (F.col("event_id") % 6 + 1).cast("long")
     backoff = F.least(attempt * attempt * F.lit(50), F.lit(1000))
-    # ts is TIMESTAMP_NTZ in the parquet; session tz is UTC so the cast is
-    # the identity instant (matches DuckDB epoch_ms on the naive value)
     not_before = F.unix_millis(F.col("ts").cast("timestamp")) + backoff
     return ev.select(
         "event_id",
@@ -203,6 +204,7 @@ def _q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming-adjacent: sessionize events (gap > 30 min) per user."""
     from pyspark.sql import Window
 
+    spark.conf.set("spark.sql.session.timeZone", "UTC")  # NTZ-cast parity
     ev = _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     ts = F.col("ts").cast("timestamp")

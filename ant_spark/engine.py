@@ -305,7 +305,9 @@ class Engine:
             total_fetched = manifest["total_fetched"]
             total_enqueued = manifest["total_enqueued"]
             frontier_count = manifest["frontier_count"]
-            r = r0 + 1
+            # manifest at round=N holds the state FOR round N (committed at
+            # the end of round N-1), so the next engine round is N itself.
+            r = r0
             bloom_state = (
                 spark.read.parquet(os.path.join(self._round_dir(root, r0), "bloom"))
                 if self._bloom

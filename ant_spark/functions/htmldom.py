@@ -416,7 +416,10 @@ class _StreamExtractor(HTMLParser):
                 if k == "href":
                     self.hrefs.append(v if v is not None else "")
                     break
-        if tag in ("html", "head"):
+        if tag == "html":
+            return
+        if tag == "head":
+            self._in_body = False  # _DomParser sets mode = "before_body"
             return
         if tag == "body":
             self._in_body = True
@@ -426,8 +429,31 @@ class _StreamExtractor(HTMLParser):
         if tag == "title" and self.title is None and not self._title_open:
             self._title_open = True
             self._title_parts = []
-        if push and tag not in VOID_ELEMENTS:
-            self._stack.append(tag)
+        if push:
+            self._implied_end(tag)  # void starts (e.g. <hr>) imply ends too
+            if tag not in VOID_ELEMENTS:
+                self._stack.append(tag)
+
+    def _implied_end(self, incoming: str) -> None:
+        """Mirror _DomParser._implied_end stack pops (affects emptiness)."""
+        s = self._stack
+        if not s:
+            return
+        cur = s[-1]
+        if cur == "p" and incoming in P_CLOSERS:
+            s.pop()
+        elif cur == "li" and incoming == "li":
+            s.pop()
+        elif cur in ("dt", "dd") and incoming in ("dt", "dd"):
+            s.pop()
+        elif cur in ("td", "th") and incoming in ("td", "th", "tr"):
+            s.pop()
+            if s and s[-1] == "tr" and incoming == "tr":
+                s.pop()
+        elif cur == "tr" and incoming == "tr":
+            s.pop()
+        elif cur == "option" and incoming in ("option", "optgroup"):
+            s.pop()
 
     def handle_starttag(self, tag, attrs):
         self._open(tag, attrs, push=True)
@@ -444,14 +470,15 @@ class _StreamExtractor(HTMLParser):
         if tag == "head":
             self._in_body = False  # _DomParser sets mode back to before_body
             return
-        # pop to nearest match, like _DomParser.handle_endtag
+        # pop to nearest match, like _DomParser.handle_endtag; an open
+        # <title> swept away by an outer end tag closes its capture too
         for i in range(len(self._stack) - 1, -1, -1):
             if self._stack[i] == tag:
+                if self._title_open and "title" in self._stack[i:]:
+                    self.title = "".join(self._title_parts)
+                    self._title_open = False
                 del self._stack[i:]
                 break
-        if tag == "title" and self._title_open:
-            self.title = "".join(self._title_parts)
-            self._title_open = False
 
     def handle_data(self, data):
         if not data:

@@ -125,3 +125,10 @@ def test_synthetic_graph_full_coverage_and_resume(spark, tmp_path):
     golden = dict(zip(pages_pdf.url, pages_pdf.text))
     for r in log:
         assert r["text"] == golden[r["url"]], r["url"]
+
+    # north_rule: resume produces IDENTICAL ordering — (url, seq, round)
+    # must match an unbroken run of the same crawl exactly
+    unbroken = Engine(spark, pages, robots, CrawlConfig(max_rounds=50)).run(seeds)
+    a = sorted((r["url"], r["seq"], r["round"]) for r in log)
+    b = sorted((r["url"], r["seq"], r["round"]) for r in unbroken.fetched_log.collect())
+    assert a == b
