@@ -405,7 +405,11 @@ def _q_crawl_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     pages_pdf, robots_pdf, seeds = example_site()
     pages = spark.createDataFrame(pages_pdf, schema=schemas.PAGES)
     robots = spark.createDataFrame(robots_pdf, schema=schemas.ROBOTS)
-    res = Engine(spark, pages, robots, CrawlConfig(max_rounds=6)).run(seeds)
+    # sequential-parity mode: seq values must equal the reference's
+    # Workers=1 FIFO order ([0,1,2,4,5] on the golden site).
+    res = Engine(
+        spark, pages, robots, CrawlConfig(max_rounds=6, ordering="bfs")
+    ).run(seeds)
     return res.fetched_log.select("seq", "url", "status", "n_links").orderBy("seq")
 
 
@@ -704,7 +708,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT host, count(*) AS n_admitted FROM admitted GROUP BY host
         """,
         "events_sessionize": """
-            SELECT user_id, sum(new_sess) AS n_sessions FROM (
+            SELECT user_id, sum(new_sess)::BIGINT AS n_sessions FROM (
               SELECT user_id,
                 CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
                        OR epoch_ms(ts) - epoch_ms(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800000

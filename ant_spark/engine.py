@@ -102,7 +102,11 @@ class CrawlConfig:
     pattern_rates: list = field(default_factory=list)
     max_age_seconds: float | None = None  # cache freshness (S5); needs crawl_ts
     crawl_ts: Any = None  # datetime 'now' for freshness tests
-    ordering: str = "bfs"  # bfs | partitioned
+    # 'partitioned' is the default (scale-safe: seq windows are per
+    # hash-partition, no global sort ever materializes). 'bfs' is the opt-in
+    # sequential-parity mode reproducing the reference's Workers=1 FIFO order
+    # via ONE global window — never the default at 10^10-frontier scale.
+    ordering: str = "partitioned"  # partitioned | bfs
     seq_partitions: int = 32  # partitioned-ordering hash fan-out
     state_partitions: int = 32  # url_hash buckets for frontier/seen snapshots
     politeness_salt: int = 8  # skew salting for the budget window
@@ -278,6 +282,15 @@ class Engine:
         cfg = self.cfg
         spark = self.spark
         root = self._init_dirs()
+        if not resume:
+            # fresh run into an existing checkpoint_dir: clear stale round=*
+            # state — otherwise the end-of-run glob folds a previous crawl's
+            # fetched_log/extracted into this CrawlResult.
+            import shutil
+
+            for name in os.listdir(root):
+                if name.startswith("round="):
+                    shutil.rmtree(os.path.join(root, name), ignore_errors=True)
 
         pages_src = self.pages
         if cfg.max_age_seconds is not None and cfg.crawl_ts is not None:
@@ -321,9 +334,14 @@ class Engine:
             P = cfg.seq_partitions
             part = F.pmod(F.xxhash64("url"), F.lit(P))
             w = Window.partitionBy(part).orderBy("url")
+            seed_urls = seeds.select("url").distinct()
+            if cfg.matcher is not None:
+                # matcher BEFORE seq assignment: excluded seeds must not
+                # consume seq values later reused by discovered links
+                # (seq is the global-uniqueness key for budget anti-joins).
+                seed_urls = seed_urls.filter(cfg.matcher(F.col("url")))
             frontier = (
-                seeds.select("url")
-                .distinct()
+                seed_urls
                 .withColumn(
                     "seq",
                     (F.row_number().over(w).cast("long") - 1) * P + part.cast("long"),
@@ -339,8 +357,6 @@ class Engine:
                     F.lit(0).cast("long").alias("not_before"),
                 )
             )
-            if cfg.matcher is not None:
-                frontier = frontier.filter(cfg.matcher(F.col("url")))
             frontier = self._write_state(
                 root, 0, "frontier", frontier, n_parts=cfg.state_partitions
             )
@@ -375,10 +391,16 @@ class Engine:
                 frontier.select("url_hash", "url", F.lit(0).alias("round")),
             )
             seen_paths = [os.path.join(self._round_dir(root, 0), "seen_delta")]
-            next_seq = int(frontier.count())
-            frontier_count = next_seq
+            # next_seq from max(seq)+1, NOT count(): a matcher that excludes
+            # a seed must not let discovered links reuse survivors' seqs
+            # (seq uniqueness drives split_by_budget/global_limit anti-joins).
+            agg = frontier.agg(
+                F.count("*").alias("n"), F.max("seq").alias("mx")
+            ).collect()[0]
+            frontier_count = int(agg["n"])
+            next_seq = int(agg["mx"]) + 1 if agg["mx"] is not None else 0
             total_fetched = 0
-            total_enqueued = next_seq
+            total_enqueued = frontier_count
             r = 0
             bloom_state = None
             if self._bloom:
@@ -534,7 +556,9 @@ class Engine:
             if cfg.max_depth is not None:
                 links = links.filter(F.col("parent_depth") + 1 <= cfg.max_depth)
             links = links.withColumn("url_hash", url_hash(F.col("url")))
-            links = first_occurrence(links, "url_hash", ["parent_seq", "link_idx"])
+            links = first_occurrence(
+                links, ["url_hash", "url"], ["parent_seq", "link_idx"]
+            )
 
             if cfg.dedupe == "exact" or self._bloom is None:
                 new_links = exact_new(links, seen)

@@ -58,12 +58,19 @@ def exact_new(candidates: DataFrame, seen: DataFrame) -> DataFrame:
     )
 
 
-def first_occurrence(df: DataFrame, key: str, order_cols: list[str]) -> DataFrame:
+def first_occurrence(
+    df: DataFrame, key: str | list[str], order_cols: list[str]
+) -> DataFrame:
     """Keep the first row per key in (order_cols) order — reproduces the
-    reference's in-batch LoadOrStore ordering (first link wins)."""
+    reference's in-batch LoadOrStore ordering (first link wins).
+
+    Callers deduping URLs must pass BOTH (url_hash, url): partitioning on
+    the 64-bit hash alone would silently collapse two distinct same-round
+    URLs on an xxhash64 collision — statistically expected at 10^10 URLs."""
     from pyspark.sql import Window
 
-    w = Window.partitionBy(key).orderBy(*order_cols)
+    keys = [key] if isinstance(key, str) else list(key)
+    w = Window.partitionBy(*keys).orderBy(*order_cols)
     return (
         df.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
@@ -248,8 +255,15 @@ class CuckooSidecar:
     def __init__(self, n_buckets: int = 64, n_slots: int = 1 << 20):
         assert n_slots % _CUCKOO_SLOTS == 0
         self.n_buckets = n_buckets
-        self.n_slots = n_slots
-        self.n_cbuckets = n_slots // _CUCKOO_SLOTS
+        # the alternate-bucket relation i2 = i1 ^ (mix(fp) % n_cbuckets) is
+        # only self-inverse when n_cbuckets is a power of two (xor of two
+        # values below 2^k stays below 2^k); round UP so evicted fingerprints
+        # stay findable for any user-supplied bloom_bits-derived size.
+        n_cb = max(1, n_slots // _CUCKOO_SLOTS)
+        if n_cb & (n_cb - 1):
+            n_cb = 1 << n_cb.bit_length()
+        self.n_cbuckets = n_cb
+        self.n_slots = n_cb * _CUCKOO_SLOTS
 
     def empty_state(self, spark) -> DataFrame:
         zeros = bytes(self.n_slots * 2)

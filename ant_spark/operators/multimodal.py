@@ -82,7 +82,15 @@ def synth_media(n: int, seed: int = 42) -> pd.DataFrame:
                 "payload": payload,
             }
         )
-    return pd.DataFrame(rows)
+    pdf = pd.DataFrame(rows)
+    # keep nullable int columns object-typed (int | None): pandas would
+    # otherwise coerce to float NaN, which Spark's non-Arrow conversion
+    # path rejects for IntegerType (same pattern as webgraph.py pages).
+    for c in ("width", "height", "duration_ms"):
+        pdf[c] = pd.Series(
+            [None if pd.isna(v) else int(v) for v in pdf[c]], dtype=object
+        )
+    return pdf
 
 
 def _fake_decode(payload: bytes, dim: int) -> list[float]:

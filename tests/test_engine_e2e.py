@@ -23,7 +23,11 @@ def example(spark):
 
 def test_golden_crawl_visited_set_and_bfs_order(spark, example):
     pages, robots, seeds, pages_pdf = example
-    res = Engine(spark, pages, robots, CrawlConfig(max_rounds=10)).run(seeds)
+    # ordering='bfs' is the opt-in sequential-parity mode (Workers=1 FIFO);
+    # the engine default is the scale-safe 'partitioned' scheme.
+    res = Engine(
+        spark, pages, robots, CrawlConfig(max_rounds=10, ordering="bfs")
+    ).run(seeds)
     rows = res.fetched_log.orderBy("seq").collect()
     visited = [r["url"].replace("http://example.com", "") or "/" for r in rows]
     # engine_test.go:39-48: /search.html excluded by robots
