@@ -51,7 +51,7 @@ def _trace(label: str, t0: float) -> float:
         print(f"    [trace] {label}: {time.time() - t0:.2f}s", flush=True)
     return time.time()
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, Observation, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ant_spark import schemas
@@ -115,6 +115,21 @@ class CrawlConfig:
     checkpoint_dir: str | None = None  # resumable state root (None → temp)
     bloom_buckets: int = 32
     bloom_bits: int = 1 << 21
+    # Stage counters: 'observe' piggybacks df.observe accumulators on the
+    # jobs that already run (zero extra Spark jobs per round; counts recorded
+    # with partition=-1); 'partition' runs the per-partition lineage job
+    # (one extra concurrent job) — the full north-rule lineage mode.
+    metrics_mode: str = "observe"  # observe | partition
+    # Compact the append-only seen deltas into one base dir whenever more
+    # than this many delta dirs accumulate (reference sweeper analogue,
+    # antcache/disk.go:310-377; production = Iceberg compaction). Keeps the
+    # per-round seen scan O(1) dirs instead of O(rounds).
+    seen_compact_every: int = 16
+    # Expire per-round STATE (frontier/seen_delta/bloom) older than this many
+    # rounds behind the latest commit; fetched_log/extracted/MANIFEST are
+    # never expired (they are the crawl's output + audit trail). None = keep
+    # everything (debugging).
+    expire_state_rounds: int | None = 2
 
 
 @dataclass
@@ -424,17 +439,36 @@ class Engine:
             waiting = frontier.filter(F.col("not_before") > round_ts)
 
             # robots (broadcast join + vectorized allow test) ------------
+            # metrics_mode='observe': counters ride as CollectMetrics nodes
+            # under the persists, filled by the materialize/write jobs that
+            # run anyway — the round schedules ZERO extra jobs for metrics.
+            observe = cfg.metrics_mode == "observe"
+            obs_rb = Observation() if observe else None
             if self._robots_is_empty():
                 # no robots anywhere ⇒ allow-all; skip the join + UDFs
-                rb = eligible.withColumn(
-                    "crawl_delay", F.lit(None).cast("double")
-                ).persist()
+                rb = eligible.withColumn("crawl_delay", F.lit(None).cast("double"))
+                if observe:
+                    rb = rb.observe(
+                        obs_rb,
+                        F.count(F.lit(1)).alias("eligible"),
+                        F.sum(F.lit(0)).alias("robots_denied"),
+                    )
+                rb = rb.persist()
                 allowed = rb
                 denied = rb.filter(F.lit(False))
             else:
                 rb = robots_ops.with_robots(
                     eligible, self.robots, cfg.ua, path_of(F.col("url"))
-                ).persist()
+                )
+                if observe:
+                    rb = rb.observe(
+                        obs_rb,
+                        F.count(F.lit(1)).alias("eligible"),
+                        F.sum(
+                            F.when(~F.col("robots_allowed"), 1).otherwise(0)
+                        ).alias("robots_denied"),
+                    )
+                rb = rb.persist()
                 allowed = rb.filter(F.col("robots_allowed")).drop("robots_allowed")
                 denied = rb.filter(~F.col("robots_allowed"))
 
@@ -504,8 +538,21 @@ class Engine:
                     ),
                 )
                 .drop("html", "_p_url", "_p_status", "ok_after_attempt")
-                .persist()
             )
+            obs_proc = Observation() if observe else None
+            if observe:
+                _se = F.col("status_eff")
+                _temp = _se.isin(503, 504, 429)
+                _n1 = lambda c: F.sum(F.when(c, 1).otherwise(0))  # noqa: E731
+                processed = processed.observe(
+                    obs_proc,
+                    _n1(_se == 200).alias("fetched"),
+                    _n1(_se == 404).alias("missing_404"),
+                    _n1(_temp & (F.col("attempt") + 1 <= cfg.max_attempts)).alias("retried"),
+                    _n1(_temp & (F.col("attempt") + 1 > cfg.max_attempts)).alias("dead_letter"),
+                    _n1((_se >= 400) & ~_se.isin(404, 503, 504, 429)).alias("perm_error"),
+                )
+            processed = processed.persist()
 
             ok = processed.filter(F.col("status_eff") == 200)
             missing = processed.filter(F.col("status_eff") == 404)  # consumed
@@ -603,7 +650,13 @@ class Engine:
                 priority_col.alias("priority"),
                 F.lit(1).alias("attempt"),
                 F.lit(0).cast("long").alias("not_before"),
-            ).persist()
+            )
+            obs_new = Observation() if observe else None
+            if observe:
+                new_rows = new_rows.observe(
+                    obs_new, F.count(F.lit(1)).alias("enqueued")
+                )
+            new_rows = new_rows.persist()
 
             if _TRACE:
                 tt = time.time()
@@ -623,9 +676,22 @@ class Engine:
 
             rd = self._round_dir(root, r + 1)
             log_path = os.path.join(rd, "fetched_log")
+            waiting_sel = waiting.select(*frontier.columns)
+            deferred_sel = deferred.select(*frontier.columns)
+            obs_waiting = obs_deferred = None
+            if observe:
+                # these two branches flow only into the frontier write — the
+                # write job fills them (no standalone count jobs).
+                obs_waiting, obs_deferred = Observation(), Observation()
+                waiting_sel = waiting_sel.observe(
+                    obs_waiting, F.count(F.lit(1)).alias("waiting")
+                )
+                deferred_sel = deferred_sel.observe(
+                    obs_deferred, F.count(F.lit(1)).alias("deferred")
+                )
             new_frontier = (
-                waiting.select(*frontier.columns)
-                .unionByName(deferred.select(*frontier.columns))
+                waiting_sel
+                .unionByName(deferred_sel)
                 .unionByName(retry.select(*frontier.columns))
                 .unionByName(new_rows.select(*frontier.columns))
             )
@@ -654,47 +720,87 @@ class Engine:
             def _w_seen():
                 return self._write_state(root, r + 1, "seen_delta", seen_delta)
 
-            # per-partition lineage counters (north_rule) — ONE job for all
-            # stages (every input is cached or a small parquet scan); runs
-            # concurrently with the commit writes below.
-            pid = F.spark_partition_id().alias("partition")
+            by_stage: dict[str, int] = {}
+            if cfg.metrics_mode == "partition":
+                # per-partition lineage counters — ONE job for all stages
+                # (every input is cached or a small parquet scan); runs
+                # concurrently with the commit writes below.
+                pid = F.spark_partition_id().alias("partition")
 
-            def _st(df, name):
-                return df.groupBy(pid).agg(F.count("*").alias("n")).withColumn(
-                    "stage", F.lit(name)
+                def _st(df, name):
+                    return df.groupBy(pid).agg(F.count("*").alias("n")).withColumn(
+                        "stage", F.lit(name)
+                    )
+
+                stage_counts = (
+                    _st(eligible, "eligible")
+                    .unionByName(_st(waiting, "waiting"))
+                    .unionByName(_st(denied, "robots_denied"))
+                    .unionByName(_st(deferred, "deferred"))
+                    .unionByName(_st(parsed, "fetched"))
+                    .unionByName(_st(missing, "missing_404"))
+                    .unionByName(_st(retry, "retried"))
+                    .unionByName(_st(dead, "dead_letter"))
+                    .unionByName(_st(perm_fail, "perm_error"))
+                    .unionByName(_st(new_rows, "enqueued"))
                 )
+                with ThreadPoolExecutor(max_workers=4) as pool:
+                    f_log = pool.submit(_w_log)
+                    f_frontier = pool.submit(_w_frontier)
+                    f_seen = pool.submit(_w_seen)
+                    f_counts = pool.submit(stage_counts.collect)
+                    f_log.result()
+                    frontier2 = f_frontier.result()
+                    f_seen.result()
+                    counts = f_counts.result()
+                for row in counts:
+                    by_stage[row["stage"]] = by_stage.get(row["stage"], 0) + row["n"]
+                    metric_rows.append((r, row["partition"], row["stage"], row["n"]))
+            else:
+                with ThreadPoolExecutor(max_workers=3) as pool:
+                    f_log = pool.submit(_w_log)
+                    f_frontier = pool.submit(_w_frontier)
+                    f_seen = pool.submit(_w_seen)
+                    f_log.result()
+                    frontier2 = f_frontier.result()
+                    f_seen.result()
+                # harvest the observations (all filled by the jobs above /
+                # the materialize pass; sum() over zero rows yields null → 0)
+                def _take(obs: Observation | None, extra: dict | None = None):
+                    vals = dict(obs.get) if obs is not None else {}
+                    if extra:
+                        vals.update(extra)
+                    for stage, v in vals.items():
+                        n = int(v) if v is not None else 0
+                        if n == 0:
+                            continue  # parity with partition mode: empty
+                            # stages emit no rows (groupBy of zero rows)
+                        by_stage[stage] = by_stage.get(stage, 0) + n
+                        metric_rows.append((r, -1, stage, n))
 
-            stage_counts = (
-                _st(eligible, "eligible")
-                .unionByName(_st(waiting, "waiting"))
-                .unionByName(_st(denied, "robots_denied"))
-                .unionByName(_st(deferred, "deferred"))
-                .unionByName(_st(parsed, "fetched"))
-                .unionByName(_st(missing, "missing_404"))
-                .unionByName(_st(retry, "retried"))
-                .unionByName(_st(dead, "dead_letter"))
-                .unionByName(_st(perm_fail, "perm_error"))
-                .unionByName(_st(new_rows, "enqueued"))
-            )
-            with ThreadPoolExecutor(max_workers=4) as pool:
-                f_log = pool.submit(_w_log)
-                f_frontier = pool.submit(_w_frontier)
-                f_seen = pool.submit(_w_seen)
-                f_counts = pool.submit(stage_counts.collect)
-                f_log.result()
-                frontier2 = f_frontier.result()
-                f_seen.result()
-                counts = f_counts.result()
+                _take(obs_rb)
+                _take(obs_proc)
+                _take(obs_new)
+                _take(obs_waiting)
+                _take(obs_deferred)
             seen_paths.append(os.path.join(rd, "seen_delta"))
             t = _trace("commit_writes+metrics(parallel)", t)
             if self._bloom:
                 bloom2 = self._bloom.add(new_rows.select("url_hash"), bloom_state)
                 bloom_state = self._write_state(root, r + 1, "bloom", bloom2)
 
-            by_stage: dict[str, int] = {}
-            for row in counts:
-                by_stage[row["stage"]] = by_stage.get(row["stage"], 0) + row["n"]
-                metric_rows.append((r, row["partition"], row["stage"], row["n"]))
+            # seen-delta compaction: fold the O(rounds) delta dirs into one
+            # url_hash-distributed base every seen_compact_every rounds so
+            # each round reads O(1) seen dirs (Iceberg compaction analogue).
+            if len(seen_paths) > cfg.seen_compact_every:
+                base_df = spark.read.parquet(*seen_paths).select(
+                    "url_hash", "url", "round"
+                )
+                self._write_state(
+                    root, r + 1, "seen_base", base_df,
+                    n_parts=cfg.state_partitions,
+                )
+                seen_paths = [os.path.join(rd, "seen_base")]
 
             n_new = by_stage.get("enqueued", 0)
             n_fetched = by_stage.get("fetched", 0)
@@ -723,6 +829,25 @@ class Engine:
                     "stages": by_stage,
                 },
             )
+
+            # expire STATE of rounds older than the keep window: frontier /
+            # seen_delta / seen_base / bloom snapshots are superseded by the
+            # just-committed round (minus live seen refs); fetched_log,
+            # extracted and MANIFEST.json stay — they are the crawl's output.
+            if cfg.expire_state_rounds is not None:
+                import shutil
+
+                live = set(seen_paths)
+                keep_from = (r + 1) - cfg.expire_state_rounds
+                for name in os.listdir(root):
+                    if not name.startswith("round="):
+                        continue
+                    if int(name.split("=")[1]) >= keep_from:
+                        continue
+                    for state in ("frontier", "seen_delta", "seen_base", "bloom"):
+                        p = os.path.join(root, name, state)
+                        if p not in live and os.path.isdir(p):
+                            shutil.rmtree(p, ignore_errors=True)
 
             rb.unpersist()
             admitted.unpersist()

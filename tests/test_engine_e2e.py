@@ -136,3 +136,45 @@ def test_synthetic_graph_full_coverage_and_resume(spark, tmp_path):
     a = sorted((r["url"], r["seq"], r["round"]) for r in log)
     b = sorted((r["url"], r["seq"], r["round"]) for r in unbroken.fetched_log.collect())
     assert a == b
+
+
+def test_seen_compaction_and_state_expiry(spark, tmp_path):
+    """Deep chain crawl: per-round seen reads stay O(1) dirs (compaction),
+    old round dirs lose their state files but keep fetched_log + MANIFEST
+    (expiry), and resume across a compaction boundary is exactly-once."""
+    import json
+    import os
+
+    cfg = GraphConfig(n_pages=24, n_hosts=1, fanout=1, flaky_every=0,
+                      robots_disallow_hosts=0, dangling_every=0)
+    pages_pdf, robots_pdf, seeds = generate(cfg)
+    pages = spark.createDataFrame(pages_pdf, schema=schemas.PAGES)
+
+    ckpt = str(tmp_path / "deep")
+    ecfg = CrawlConfig(checkpoint_dir=ckpt, seen_compact_every=6,
+                       expire_state_rounds=2, max_rounds=10)
+    eng = Engine(spark, pages, None, ecfg)
+    eng.run(seeds)
+
+    # manifest of the latest round references a BOUNDED number of seen dirs
+    r0, manifest = eng.latest_round(ckpt)
+    assert len(manifest["seen_paths"]) <= 7  # compact_every + current delta
+    # expired rounds: state gone, log + manifest kept
+    old = os.path.join(ckpt, "round=00002")
+    assert not os.path.isdir(os.path.join(old, "frontier"))
+    assert not os.path.isdir(os.path.join(old, "seen_delta"))
+    assert os.path.isdir(os.path.join(old, "fetched_log"))
+    assert os.path.exists(os.path.join(old, "MANIFEST.json"))
+    # live seen refs + latest frontier survive expiry
+    for rel in manifest["seen_paths"]:
+        assert os.path.isdir(os.path.join(ckpt, rel)), rel
+    assert os.path.isdir(os.path.join(ckpt, f"round={r0:05d}", "frontier"))
+
+    # resume across the compaction boundary finishes the chain exactly-once
+    res = Engine(spark, pages, None,
+                 CrawlConfig(checkpoint_dir=ckpt, seen_compact_every=6,
+                             expire_state_rounds=2, max_rounds=50)).run(
+        seeds, resume=True)
+    urls = [r["url"] for r in res.fetched_log.collect()]
+    assert sorted(set(urls)) == sorted(urls)  # no refetch
+    assert set(urls) == set(pages_pdf.url)  # full chain covered
