@@ -115,6 +115,15 @@ class CrawlConfig:
     checkpoint_dir: str | None = None  # resumable state root (None → temp)
     bloom_buckets: int = 32
     bloom_bits: int = 1 << 21
+    # Seen-state layout. 'parquet': per-round delta dirs + periodic
+    # compaction (default — lowest fixed cost per round at sandbox scale).
+    # 'bucketed': the seen set lives in ONE external table CLUSTERED BY
+    # url_hash (the plain-Spark stand-in for an Iceberg bucket(N, url_hash)
+    # table); candidate links are staged into a same-bucketed table each
+    # round so the exact anti-join is storage-partitioned — NO Exchange on
+    # the seen side. At a 10^10-URL seen set that Exchange is the round's
+    # dominant cost, so 'bucketed' is the cluster-scale mode.
+    state_backend: str = "parquet"  # parquet | bucketed
     # Stage counters: 'observe' piggybacks df.observe accumulators on the
     # jobs that already run (zero extra Spark jobs per round; counts recorded
     # with partition=-1); 'partition' runs the per-partition lineage job
@@ -258,6 +267,42 @@ class Engine:
         w.write.mode("overwrite").parquet(path)
         return self.spark.read.parquet(path)
 
+    def _seen_write(self, root: str, r: int, delta: DataFrame) -> None:
+        """Commit a seen delta: parquet dir per round, or an append into the
+        url_hash-bucketed seen table (Iceberg bucketed-append analogue)."""
+        if self._bucketed:
+            w = (
+                delta.write.mode("overwrite" if r == 0 else "append")
+                .format("parquet")
+                .bucketBy(self.cfg.state_partitions, "url_hash")
+                .sortBy("url_hash")
+            )
+            if r == 0:
+                w = w.option("path", self._seen_tbl_path)
+            w.saveAsTable(self._seen_tbl)
+        else:
+            self._write_state(root, r, "seen_delta", delta)
+
+    def _seen_register(self) -> None:
+        """(Resume) re-register the external bucketed seen table."""
+        self.spark.sql(
+            f"CREATE TABLE IF NOT EXISTS {self._seen_tbl} "
+            "(url_hash BIGINT, url STRING, round INT) USING PARQUET "
+            "CLUSTERED BY (url_hash) SORTED BY (url_hash) "
+            f"INTO {self.cfg.state_partitions} BUCKETS "
+            f"LOCATION '{self._seen_tbl_path}'"
+        )
+
+    def _seen_read(self, r: int, seen_paths: list[str]) -> DataFrame:
+        """The membership set visible to round ``r``. Bucketed mode filters
+        ``round <= r``: an append orphaned by a crash between the table
+        append and the manifest commit carries round r+1, so the first
+        resumed round excludes it; once that round commits its own
+        (identical, deterministic) delta the orphan is a harmless subset."""
+        if self._bucketed:
+            return self.spark.table(self._seen_tbl).filter(F.col("round") <= r)
+        return self.spark.read.parquet(*seen_paths)
+
     # ------------------------------------------------------------------
 
     def seed_frontier(self, seeds: list[str]) -> "pd.DataFrame":
@@ -297,6 +342,14 @@ class Engine:
         cfg = self.cfg
         spark = self.spark
         root = self._init_dirs()
+        self._bucketed = cfg.state_backend == "bucketed"
+        if self._bucketed:
+            import hashlib
+
+            dig = hashlib.md5(root.encode()).hexdigest()[:10]
+            self._seen_tbl = f"ant_seen_{dig}"
+            self._links_tbl = f"ant_links_{dig}"
+            self._seen_tbl_path = os.path.join(root, "seen_tbl")
         if not resume:
             # fresh run into an existing checkpoint_dir: clear stale round=*
             # state — otherwise the end-of-run glob folds a previous crawl's
@@ -306,6 +359,10 @@ class Engine:
             for name in os.listdir(root):
                 if name.startswith("round="):
                     shutil.rmtree(os.path.join(root, name), ignore_errors=True)
+            if self._bucketed:
+                spark.sql(f"DROP TABLE IF EXISTS {self._seen_tbl}")
+                spark.sql(f"DROP TABLE IF EXISTS {self._links_tbl}")
+                shutil.rmtree(self._seen_tbl_path, ignore_errors=True)
 
         pages_src = self.pages
         if cfg.max_age_seconds is not None and cfg.crawl_ts is not None:
@@ -329,6 +386,8 @@ class Engine:
             r0, manifest = start
             frontier = spark.read.parquet(os.path.join(self._round_dir(root, r0), "frontier"))
             seen_paths = [os.path.join(root, p) for p in manifest["seen_paths"]]
+            if self._bucketed:
+                self._seen_register()
             next_seq = manifest["next_seq"]
             total_fetched = manifest["total_fetched"]
             total_enqueued = manifest["total_enqueued"]
@@ -375,11 +434,14 @@ class Engine:
             frontier = self._write_state(
                 root, 0, "frontier", frontier, n_parts=cfg.state_partitions
             )
-            self._write_state(
-                root, 0, "seen_delta",
+            self._seen_write(
+                root, 0,
                 frontier.select("url_hash", "url", F.lit(0).alias("round")),
             )
-            seen_paths = [os.path.join(self._round_dir(root, 0), "seen_delta")]
+            seen_paths = (
+                [] if self._bucketed
+                else [os.path.join(self._round_dir(root, 0), "seen_delta")]
+            )
             frontier_count = int(frontier.count())
             next_seq = frontier_count * P  # seq upper bound in partitioned scheme
             total_fetched = 0
@@ -401,11 +463,14 @@ class Engine:
                 # matcher runs BEFORE dedupe/enqueue (engine.go:201,338-349)
                 frontier = frontier.filter(cfg.matcher(F.col("url")))
             frontier = self._write_state(root, 0, "frontier", frontier)
-            seen0 = self._write_state(
-                root, 0, "seen_delta",
+            self._seen_write(
+                root, 0,
                 frontier.select("url_hash", "url", F.lit(0).alias("round")),
             )
-            seen_paths = [os.path.join(self._round_dir(root, 0), "seen_delta")]
+            seen_paths = (
+                [] if self._bucketed
+                else [os.path.join(self._round_dir(root, 0), "seen_delta")]
+            )
             # next_seq from max(seq)+1, NOT count(): a matcher that excludes
             # a seed must not let discovered links reuse survivors' seqs
             # (seq uniqueness drives split_by_budget/global_limit anti-joins).
@@ -433,7 +498,7 @@ class Engine:
             if cfg.max_rounds is not None and rounds_run >= cfg.max_rounds:
                 break
             round_ts = int(r * cfg.round_seconds * 1000)
-            seen = spark.read.parquet(*seen_paths)
+            seen = self._seen_read(r, seen_paths)
 
             eligible = frontier.filter(F.col("not_before") <= round_ts)
             waiting = frontier.filter(F.col("not_before") > round_ts)
@@ -607,8 +672,41 @@ class Engine:
                 links, ["url_hash", "url"], ["parent_seq", "link_idx"]
             )
 
+            if self._bucketed and (cfg.dedupe == "exact" or self._bloom is None):
+                # stage candidates into a table bucketed like `seen`: the
+                # exact anti-join becomes storage-partitioned — the (huge)
+                # seen side is read in place with NO Exchange; only the
+                # (small) per-round candidate set pays a bucket shuffle,
+                # folded into this write.
+                staged_path = os.path.join(
+                    self._round_dir(root, r + 1), "links_staged"
+                )
+                spark.sql(f"DROP TABLE IF EXISTS {self._links_tbl}")
+                (
+                    links.drop("raw_url")
+                    .write.mode("overwrite").format("parquet")
+                    .bucketBy(cfg.state_partitions, "url_hash")
+                    .sortBy("url_hash")
+                    .option("path", staged_path)
+                    .saveAsTable(self._links_tbl)
+                )
+                links = spark.table(self._links_tbl)
+
             if cfg.dedupe == "exact" or self._bloom is None:
                 new_links = exact_new(links, seen)
+                if os.environ.get("ANT_SPARK_EXPLAIN_DEDUPE") == "1":
+                    import io
+                    from contextlib import redirect_stdout
+
+                    buf = io.StringIO()
+                    with redirect_stdout(buf):
+                        new_links.explain("formatted")
+                    plan = buf.getvalue()
+                    print(
+                        f"[dedupe-plan round={r} backend={cfg.state_backend}] "
+                        f"Exchanges={plan.count('Exchange')}\n{plan}",
+                        flush=True,
+                    )
             else:
                 tested = self._bloom.test(links.select("url_hash"), bloom_state)
                 links_t = links.join(tested, "url_hash", "left")
@@ -657,6 +755,17 @@ class Engine:
                     obs_new, F.count(F.lit(1)).alias("enqueued")
                 )
             new_rows = new_rows.persist()
+            if os.environ.get("ANT_SPARK_EXPLAIN_ROUND") == "1":
+                # audit hook: dump the full round plan (seq window + dedupe
+                # + parse) so tools/explain_audit.py can assert scale
+                # invariants, e.g. no partition-less Window in the plan.
+                import io
+                from contextlib import redirect_stdout
+
+                buf = io.StringIO()
+                with redirect_stdout(buf):
+                    new_rows.explain()
+                print(f"[round-plan round={r}]\n{buf.getvalue()}", flush=True)
 
             if _TRACE:
                 tt = time.time()
@@ -718,7 +827,7 @@ class Engine:
                 )
 
             def _w_seen():
-                return self._write_state(root, r + 1, "seen_delta", seen_delta)
+                return self._seen_write(root, r + 1, seen_delta)
 
             by_stage: dict[str, int] = {}
             if cfg.metrics_mode == "partition":
@@ -783,7 +892,8 @@ class Engine:
                 _take(obs_new)
                 _take(obs_waiting)
                 _take(obs_deferred)
-            seen_paths.append(os.path.join(rd, "seen_delta"))
+            if not self._bucketed:
+                seen_paths.append(os.path.join(rd, "seen_delta"))
             t = _trace("commit_writes+metrics(parallel)", t)
             if self._bloom:
                 bloom2 = self._bloom.add(new_rows.select("url_hash"), bloom_state)
@@ -791,8 +901,9 @@ class Engine:
 
             # seen-delta compaction: fold the O(rounds) delta dirs into one
             # url_hash-distributed base every seen_compact_every rounds so
-            # each round reads O(1) seen dirs (Iceberg compaction analogue).
-            if len(seen_paths) > cfg.seen_compact_every:
+            # each round reads O(1) seen dirs (Iceberg compaction analogue;
+            # the bucketed backend appends into one table — nothing to fold).
+            if not self._bucketed and len(seen_paths) > cfg.seen_compact_every:
                 base_df = spark.read.parquet(*seen_paths).select(
                     "url_hash", "url", "round"
                 )
@@ -826,6 +937,7 @@ class Engine:
                     "total_enqueued": total_enqueued,
                     "frontier_count": frontier_count,
                     "seen_paths": [os.path.relpath(p, root) for p in seen_paths],
+                    "state_backend": cfg.state_backend,
                     "stages": by_stage,
                 },
             )
@@ -844,7 +956,10 @@ class Engine:
                         continue
                     if int(name.split("=")[1]) >= keep_from:
                         continue
-                    for state in ("frontier", "seen_delta", "seen_base", "bloom"):
+                    for state in (
+                        "frontier", "seen_delta", "seen_base", "bloom",
+                        "links_staged",
+                    ):
                         p = os.path.join(root, name, state)
                         if p not in live and os.path.isdir(p):
                             shutil.rmtree(p, ignore_errors=True)

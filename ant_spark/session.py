@@ -26,6 +26,11 @@ ENGINE_CONF: dict[str, str] = {
     # Runtime bloom filter on the probe side of large joins — directly
     # benefits the seen-set anti-join (reference dedupe.go:70-89 analogue).
     "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+    # Storage-partitioned joins over url_hash-bucketed state tables: the
+    # engine's exact anti-join keys (url_hash, url) are a SUPERSET of the
+    # bucket column, so allow subset co-partitioning — this is what lets the
+    # bucketed seen table join with zero seen-side Exchange.
+    "spark.sql.requireAllClusterKeysForCoPartition": "false",
     # Arrow for pandas UDFs (the parse stage) and sane batch sizes: html
     # payloads are ~KBs, so 2048 rows/batch keeps Arrow buffers ~10s of MB.
     "spark.sql.execution.arrow.pyspark.enabled": "true",

@@ -178,3 +178,27 @@ def test_seen_compaction_and_state_expiry(spark, tmp_path):
     urls = [r["url"] for r in res.fetched_log.collect()]
     assert sorted(set(urls)) == sorted(urls)  # no refetch
     assert set(urls) == set(pages_pdf.url)  # full chain covered
+
+
+def test_bucketed_state_backend_golden_and_resume(spark, tmp_path):
+    """state_backend='bucketed': the seen set lives in one url_hash-bucketed
+    table (storage-partitioned anti-join — 0 seen-side Exchanges, evidenced
+    in tools/bucketed_engine_ab.py); semantics must match parquet exactly."""
+    pages_pdf, robots_pdf, seeds = example_site()
+    pages = spark.createDataFrame(pages_pdf, schema=schemas.PAGES)
+    robots = spark.createDataFrame(robots_pdf, schema=schemas.ROBOTS)
+
+    ckpt = str(tmp_path / "bkt")
+    e1 = Engine(spark, pages, robots,
+                CrawlConfig(checkpoint_dir=ckpt, max_rounds=2,
+                            state_backend="bucketed"))
+    e1.run(seeds)
+    res = Engine(spark, pages, robots,
+                 CrawlConfig(checkpoint_dir=ckpt, max_rounds=10,
+                             state_backend="bucketed")).run(seeds, resume=True)
+    visited = sorted(r["url"].replace("http://example.com", "") or "/"
+                     for r in res.fetched_log.collect())
+    assert visited == sorted(
+        ["/", "/about.html", "/products.html", "/a.html", "/b.html"])
+    urls = [r["url"] for r in res.fetched_log.collect()]
+    assert sorted(set(urls)) == sorted(urls)  # exactly-once across resume

@@ -116,6 +116,36 @@ def main() -> None:
         check("similarity_no_python", p, [], ["BatchEvalPython", "ArrowEvalPython"])
     )
 
+    # 5. DEFAULT-config engine round plans contain no partition-less Window
+    # (a global sort of the frontier would single-thread seq assignment at
+    # 10^10 scale; the scale-safe 'partitioned' ordering must be default).
+    # Physical Window prints [exprs], [partition], [ordering] — a missing
+    # partition list leaves only one "], [" separator on the line.
+    from ant_spark.engine import CrawlConfig, Engine
+    from ant_spark.sources.webgraph import example_site
+
+    os.environ["ANT_SPARK_EXPLAIN_ROUND"] = "1"
+    pages_e, robots_e, seeds = example_site()
+    pe = spark.createDataFrame(pages_e, schema=schemas.PAGES)
+    rbe = spark.createDataFrame(robots_e, schema=schemas.ROBOTS)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        Engine(spark, pe, rbe, CrawlConfig(max_rounds=3)).run(seeds)
+    os.environ.pop("ANT_SPARK_EXPLAIN_ROUND")
+    round_plans = buf.getvalue()
+    bad_windows = [
+        ln.strip()
+        for ln in round_plans.splitlines()
+        if "Window [" in ln and ln.count("], [") < 2
+    ]
+    has_windows = "Window [" in round_plans
+    for ln in bad_windows:
+        print(f"  PARTITION-LESS WINDOW: {ln[:120]}")
+    ok5 = has_windows and not bad_windows
+    print(f"{'PASS' if ok5 else 'FAIL'}  engine_round_no_global_window "
+          f"({round_plans.count('[round-plan')} round plans audited)")
+    results.append(ok5)
+
     print(f"\n{'ALL PASS' if all(results) else 'AUDIT FAILURES'}")
     sys.exit(0 if all(results) else 1)
 
