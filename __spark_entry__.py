@@ -243,6 +243,48 @@ def _q_cache_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merged.select("url", "event_id")
 
 
+def _q_cache_revalidate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5/C9 RFC7234 verification (httpcache.go:214-271): stale cached rows
+    are conditionally 'requested' against a synthetic origin — ETag /
+    Last-Modified matches revalidate (304), changed validators replace
+    (200), 5xx surfaces the error, absent origin is a miss."""
+    from ant_spark.operators.cache import revalidate
+
+    ev = _t(spark, sf_dir, "events")
+    now = ev.agg(F.max("ts")).collect()[0][0]
+    eid = F.col("event_id")
+    c_etag = F.when(
+        eid % 4 != 0, F.concat(F.lit("e"), (eid % 10).cast("string"))
+    )
+    c_lm = F.when(
+        eid % 5 != 0, F.concat(F.lit("lm"), (eid % 7).cast("string"))
+    )
+    cached = ev.select(
+        eid.cast("string").alias("url"),
+        F.col("ts").alias("warc_ts"),
+        "event_id",
+        F.lit(200).alias("status"),
+        c_etag.alias("etag"),
+        c_lm.alias("last_modified"),
+    )
+    origin = ev.filter(eid % 6 != 1).select(
+        eid.cast("string").alias("url"),
+        (F.col("ts") + F.expr("INTERVAL 3600 SECONDS")).alias("warc_ts"),
+        F.when(eid % 9 == 0, 503)
+        .when(eid % 11 == 0, 404)
+        .otherwise(200)
+        .alias("status"),
+        F.when(eid % 2 == 0, c_etag).otherwise(F.lit("changed")).alias("etag"),
+        F.when(eid % 3 == 0, c_lm).otherwise(F.lit("changed")).alias(
+            "last_modified"
+        ),
+    )
+    out = revalidate(cached, origin, F.lit(now), max_age_seconds=7200)
+    return out.groupBy("decision").agg(
+        F.count("*").alias("n"), F.sum("event_id").alias("id_sum")
+    )
+
+
 def _q_rate_rule_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W3 LimitPattern: per-rule round budget over synthesized URLs."""
     from ant_spark.operators.politeness import rule_budget
@@ -439,6 +481,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_first_occurrence": _q_first_occurrence,
         "crawl_cache_fresh": _q_cache_fresh,
         "crawl_cache_merge": _q_cache_merge,
+        "crawl_cache_revalidate": _q_cache_revalidate,
         "crawl_rate_rule_budget": _q_rate_rule_budget,
         "events_sessionize": _q_sessionize,
         # training-data text ops
@@ -680,6 +723,44 @@ def oracle_sql() -> dict[str, str]:
                        PARTITION BY user_id
                        ORDER BY ts DESC, (event_id % 2) DESC) AS rn
               FROM events) WHERE rn = 1
+        """,
+        "crawl_cache_revalidate": """
+            WITH cached AS (
+              SELECT event_id, event_id::VARCHAR AS url, ts AS warc_ts,
+                CASE WHEN event_id % 4 <> 0
+                     THEN 'e' || (event_id % 10)::VARCHAR END AS etag,
+                CASE WHEN event_id % 5 <> 0
+                     THEN 'lm' || (event_id % 7)::VARCHAR END AS lm
+              FROM events),
+            origin AS (
+              SELECT event_id::VARCHAR AS url,
+                CASE WHEN event_id % 9 = 0 THEN 503
+                     WHEN event_id % 11 = 0 THEN 404 ELSE 200 END AS status,
+                CASE WHEN event_id % 2 = 0 THEN
+                  (CASE WHEN event_id % 4 <> 0
+                        THEN 'e' || (event_id % 10)::VARCHAR END)
+                  ELSE 'changed' END AS etag,
+                CASE WHEN event_id % 3 = 0 THEN
+                  (CASE WHEN event_id % 5 <> 0
+                        THEN 'lm' || (event_id % 7)::VARCHAR END)
+                  ELSE 'changed' END AS lm
+              FROM events WHERE event_id % 6 <> 1),
+            dec AS (
+              SELECT c.event_id,
+                CASE
+                  WHEN c.warc_ts >= (SELECT max(ts) FROM events)
+                                    - INTERVAL 7200 SECONDS THEN 'fresh'
+                  WHEN o.status IS NULL THEN 'miss'
+                  WHEN o.status >= 500 AND o.status < 600 THEN 'error'
+                  WHEN o.status <> 200 THEN 'miss'
+                  WHEN (c.etag IS NOT NULL AND c.etag = o.etag)
+                    OR (c.etag IS NULL AND c.lm IS NOT NULL AND c.lm = o.lm)
+                    THEN 'revalidated'
+                  ELSE 'replaced' END AS decision
+              FROM cached c LEFT JOIN origin o USING (url))
+            SELECT decision, count(*)::BIGINT AS n,
+                   sum(event_id)::BIGINT AS id_sum
+            FROM dec GROUP BY decision
         """,
         "crawl_rate_rule_budget": """
             WITH fr AS (

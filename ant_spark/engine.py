@@ -380,6 +380,12 @@ class Engine:
             F.col("status").alias("_p_status"),
             "ok_after_attempt",
         )
+        # NOTE on the fetch join's pages side: no engine-side repartition or
+        # cache — measured slower here. With AQE the (small) frontier side is
+        # broadcast, so the html-heavy page corpus is streamed in place and
+        # never exchanged; at cluster scale where neither side broadcasts,
+        # the pages table is an Iceberg table bucketed by url on storage and
+        # the join stays storage-partitioned without engine help.
 
         start = self.latest_round(root) if resume else None
         if start is not None:

@@ -56,6 +56,87 @@ def merge_fetched(existing: DataFrame, refetched: DataFrame) -> DataFrame:
     )
 
 
+def revalidate(
+    cached: DataFrame,
+    origin: DataFrame,
+    as_of_ts: Column,
+    max_age_seconds: float,
+    stale_if_error: bool = False,
+) -> DataFrame:
+    """RFC 7234 §4.3 verification as ONE batch left-join — the reference's
+    per-request ``Cache.verify`` (antcache/httpcache.go:214-271) re-expressed
+    over the whole cached corpus at once.
+
+    ``cached``/``origin`` need (url, warc_ts, status, etag, last_modified).
+    Per cached row the decision mirrors the reference's control flow:
+
+    - still fresh                            → ``fresh`` (serve stored;
+      no conditional request — httpcache.go:200-202)
+    - origin row absent                      → ``miss`` (refetch from
+      scratch; verify returned nil — httpcache.go:268-270)
+    - origin 5xx + stale-if-error            → ``stale_error_served``
+      (serve stored — httpcache.go:236-241)
+    - origin 5xx otherwise                   → ``error`` (surface the 5xx)
+    - validators unchanged (ETag match, else Last-Modified match) → a 304:
+      ``revalidated`` — serve the stored body, adopt the origin's fresher
+      headers/timestamp (merge(resp.Header, newresp.Header),
+      httpcache.go:245-250)
+    - origin 200 with changed validators     → ``replaced`` (store + serve
+      the full new response — httpcache.go:256-261)
+    - any other origin status                → ``miss`` (not storable;
+      verification failed — httpcache.go:264-270)
+
+    Stays a single native join + CASE expression: Catalyst broadcast-joins
+    a small origin probe, or sort-merge-joins two url-bucketed tables
+    shuffle-free at corpus scale.
+    """
+    cutoff = as_of_ts - F.expr(f"INTERVAL {int(max_age_seconds)} SECONDS")
+    o = origin.select(
+        "url",
+        F.col("warc_ts").alias("_o_ts"),
+        F.col("status").alias("_o_status"),
+        F.col("etag").alias("_o_etag"),
+        F.col("last_modified").alias("_o_lm"),
+    )
+    j = cached.join(o, "url", "left")
+    is_fresh = F.col("warc_ts") >= cutoff
+    origin_missing = F.col("_o_status").isNull()
+    origin_5xx = (F.col("_o_status") >= 500) & (F.col("_o_status") < 600)
+    # ETag is the stronger validator: when present it alone decides
+    # (If-None-Match wins over If-Modified-Since per RFC 7232 §6).
+    validators_match = (
+        F.col("etag").isNotNull() & (F.col("etag") == F.col("_o_etag"))
+    ) | (
+        F.col("etag").isNull()
+        & F.col("last_modified").isNotNull()
+        & (F.col("last_modified") == F.col("_o_lm"))
+    )
+    decision = (
+        F.when(is_fresh, F.lit("fresh"))
+        .when(origin_missing, F.lit("miss"))
+        .when(
+            origin_5xx,
+            F.lit("stale_error_served" if stale_if_error else "error"),
+        )
+        # only a live 200 can answer a conditional request with 304/200; any
+        # other origin status is not storable → verification failed (miss)
+        .when(F.col("_o_status") != 200, F.lit("miss"))
+        .when(validators_match, F.lit("revalidated"))
+        .otherwise(F.lit("replaced"))
+    )
+    serve_stored = decision.isin("fresh", "stale_error_served", "revalidated")
+    return j.select(
+        *[c for c in cached.columns],
+        decision.alias("decision"),
+        F.when(serve_stored & (decision != "revalidated"), F.col("warc_ts"))
+        .when(decision.isin("revalidated", "replaced"), F.col("_o_ts"))
+        .alias("serve_warc_ts"),
+        F.when(serve_stored, F.col("status"))
+        .when(decision.isin("replaced", "error"), F.col("_o_status"))
+        .alias("serve_status"),
+    )
+
+
 def cache_key(url_col: Column, method: str = "GET") -> Column:
     """The cache key (reference murmur3 of 'METHOD:url',
     antcache/utils.go:30-34; xxhash64 here — the key never leaves the

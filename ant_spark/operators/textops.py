@@ -207,9 +207,13 @@ def minhash_bands(sig_col: Column, n_bands: int, rows_per_band: int) -> Column:
 
 
 def minhash_signatures_flat(
-    docs: DataFrame, text_col: str = "text", n_hashes: int = 16, k: int = 3
+    docs: DataFrame,
+    text_col: str = "text",
+    n_hashes: int = 16,
+    k: int = 3,
+    hash_fn: str = "md5",
 ) -> DataFrame:
-    """MinHash signatures, scalable formulation: explode shingles → flat md5
+    """MinHash signatures, scalable formulation: explode shingles → flat hash
     columns → groupBy(doc_id).agg(min…).
 
     Produces exactly the same values as ``minhash_signature`` (same md5 over
@@ -219,18 +223,28 @@ def minhash_signatures_flat(
     interpreted eval and is ~30× slower; (b) the aggregation gets map-side
     partial min combining, so at 10^10 docs the shuffle carries one partial
     signature per (partition, doc), not the shingle stream.
+
+    ``hash_fn``: 'md5' (default) is DuckDB-oracle-reproducible; 'xxhash64'
+    is the SCALE mode — one 64-bit JVM hash per (seed, shingle) instead of
+    a full md5 over a string concat, same LSH algebra.
     """
     ex = docs.select(
         F.col("doc_id"),
         F.explode(ngram_shingles(F.col(text_col), k)).alias("sh"),
     )
-    hashed = ex.select(
-        "doc_id",
-        *[
+    if hash_fn == "xxhash64":
+        hcols = [
+            F.xxhash64(F.lit(i), F.col("sh")).alias(f"h{i}")
+            for i in range(n_hashes)
+        ]
+    elif hash_fn == "md5":
+        hcols = [
             F.md5(F.concat(F.lit(f"{i}:"), F.col("sh"))).alias(f"h{i}")
             for i in range(n_hashes)
-        ],
-    )
+        ]
+    else:
+        raise ValueError(f"unknown hash_fn {hash_fn!r}")
+    hashed = ex.select("doc_id", *hcols)
     return hashed.groupBy("doc_id").agg(
         *[F.min(f"h{i}").alias(f"h{i}") for i in range(n_hashes)]
     )
@@ -242,24 +256,34 @@ def minhash_candidate_pairs(
     n_hashes: int = 16,
     n_bands: int = 4,
     k: int = 3,
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """MinHash+LSH near-dup candidates: shingle → minhash → band → bucket join.
 
     Returns distinct (doc_a, doc_b) with doc_a < doc_b that collide in ≥1
     band. The self-join shuffles on the band key only (bucket join); at
     10^10 docs the band tables are bucketed by band_key so the join is
-    storage-partitioned.
+    storage-partitioned. ``hash_fn='xxhash64'`` is the scale mode (64-bit
+    JVM hashes end to end); 'md5' stays oracle-reproducible.
     """
     rows = n_hashes // n_bands
-    sigs = minhash_signatures_flat(docs, text_col, n_hashes, k)
-    band_cols = [
-        F.md5(
-            F.concat_ws(
-                "|", *[F.col(f"h{b * rows + r}") for r in range(rows)]
-            )
-        ).alias(f"b{b}")
-        for b in range(n_bands)
-    ]
+    sigs = minhash_signatures_flat(docs, text_col, n_hashes, k, hash_fn)
+    if hash_fn == "xxhash64":
+        band_cols = [
+            F.xxhash64(
+                *[F.col(f"h{b * rows + r}") for r in range(rows)]
+            ).alias(f"b{b}")
+            for b in range(n_bands)
+        ]
+    else:
+        band_cols = [
+            F.md5(
+                F.concat_ws(
+                    "|", *[F.col(f"h{b * rows + r}") for r in range(rows)]
+                )
+            ).alias(f"b{b}")
+            for b in range(n_bands)
+        ]
     banded = (
         sigs.select("doc_id", *band_cols)
         .unpivot("doc_id", [f"b{b}" for b in range(n_bands)], "band_idx", "band_key")
@@ -312,13 +336,16 @@ def jaccard_pairs(
 # SimHash — 64-bit, md5-derived so it is oracle-reproducible
 
 
-def simhash64(text_col: Column, k: int = 1) -> Column:
-    """64-bit SimHash over word 1-shingles (k=1 default).
+def simhash64_slow_colexpr(text_col: Column, k: int = 1) -> Column:
+    """64-bit SimHash as a single Column expression — DEMOTED: the nested
+    higher-order-function tree falls out of whole-stage codegen and measures
+    ~30× slower than ``simhash64_flat``. Kept only as the executable spec
+    the flat variant is tested against; every real caller must use
+    ``simhash64_flat``.
 
     Each token hashes to 64 bits (first 16 hex chars of md5 → bigint via
     conv); bit b contributes +1/−1 to an accumulator; the sign vector is the
-    fingerprint. Implemented with native higher-order functions:
-    for each bit, count tokens with that bit set vs total.
+    fingerprint.
     """
     toks = F.array_distinct(F.split(normalized_text(text_col), " "))
     h = F.transform(

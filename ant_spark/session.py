@@ -38,6 +38,12 @@ ENGINE_CONF: dict[str, str] = {
     # Parquet: zstd (reference used snappy for its disk cache,
     # antcache/disk.go:402-404; zstd is the better default at scale).
     "spark.sql.parquet.compression.codec": "zstd",
+    # v2 committer: task outputs move straight to the destination on task
+    # commit instead of a second driver-side rename pass per write — the
+    # engine commits 3 small parquet writes per round, so the rename pass is
+    # pure fixed cost (atomicity is provided by the engine's own MANIFEST
+    # commit, not by the _SUCCESS protocol).
+    "spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version": "2",
     # Keep scheduling deterministic-ish and cheap in local mode.
     "spark.sql.shuffle.partitions": "32",
     "spark.sql.session.timeZone": "UTC",

@@ -87,10 +87,31 @@ def test_minhash_lsh_finds_dups(spark, docs):
 
 def test_simhash_near_dup_distance(spark, docs):
     sh = {
-        r["doc_id"]: r["sh"]
-        for r in docs.select("doc_id", T.simhash64(F.col("text")).alias("sh")).collect()
+        r["doc_id"]: r["simhash"] for r in T.simhash64_flat(docs, "text").collect()
     }
     assert sh[0] == sh[5] == sh[6]  # identical token sets
+    # the flat (scale) variant must equal the column-expr executable spec
+    spec = {
+        r["doc_id"]: r["sh"]
+        for r in docs.select(
+            "doc_id", T.simhash64_slow_colexpr(F.col("text")).alias("sh")
+        ).collect()
+    }
+    assert sh == spec
+
+
+def test_minhash_xxhash64_mode_matches_md5_pairs(spark, docs):
+    """hash_fn='xxhash64' (scale mode) finds the same guaranteed collisions
+    as the md5 oracle mode on exact/normalized dups."""
+    pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in T.minhash_candidate_pairs(
+            docs, "text", n_hashes=8, n_bands=4, k=3, hash_fn="xxhash64"
+        ).collect()
+    }
+    assert (0, 5) in pairs
+    assert (0, 6) in pairs
+    assert (0, 4) not in pairs
 
 
 def test_hamming(spark):

@@ -101,7 +101,6 @@ def main() -> None:
         T.quality_score(F.col("text")).alias("q"),
         T.token_count(F.col("text")).alias("tok"),
         T.fingerprint(F.col("text")).alias("fp"),
-        T.simhash64(F.col("text")).alias("sh"),
     )
     p = plan_of(analytics)
     results.append(
