@@ -426,6 +426,19 @@ def _q_lsh_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_emb_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, LSH-bucket-restricted (the
+    scale path: no all-pairs — candidates only within hyperplane buckets)."""
+    from ant_spark.operators.similarity import cosine_near_dup_pairs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    # threshold tuned to the synthetic embeddings (max within-bucket cos
+    # ~0.49; no pair within 1e-6 of the cut → float-compare safe vs DuckDB)
+    return cosine_near_dup_pairs(
+        emb, _PLANES, threshold=0.35, id_col="vec_id"
+    )
+
+
 def _q_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ant_spark.operators.similarity import ivf_assign
 
@@ -497,6 +510,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # similarity search
         "emb_cosine_topk": _q_cosine_topk,
         "emb_lsh_bucket": _q_lsh_bucket,
+        "emb_near_dup": _q_emb_near_dup,
         "emb_ivf_assign": _q_ivf_assign,
         # non-SQL (rows-only)
         "crawl_e2e_visited": _q_crawl_e2e,
@@ -907,6 +921,17 @@ def oracle_sql() -> dict[str, str]:
         """,
         "emb_lsh_bucket": f"""
             SELECT vec_id, ({bucket_expr})::BIGINT AS bucket FROM embeddings
+        """,
+        "emb_near_dup": f"""
+            WITH buckets AS (
+              SELECT vec_id, embedding,
+                     ({bucket_expr})::BIGINT AS bucket
+              FROM embeddings)
+            SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
+                   round({_cos_sql('a.embedding', 'b.embedding')}, 4) AS cos_sim
+            FROM buckets a JOIN buckets b USING (bucket)
+            WHERE a.vec_id < b.vec_id
+              AND {_cos_sql('a.embedding', 'b.embedding')} >= 0.35
         """,
         "emb_ivf_assign": f"""
             SELECT vec_id, ({cell_expr})::INT AS cell,

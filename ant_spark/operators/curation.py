@@ -31,9 +31,14 @@ def curate(
     n_hashes: int = 8,
     n_bands: int = 4,
     k: int = 3,
+    hash_fn: str = "md5",
 ) -> tuple[DataFrame, DataFrame]:
     """→ (kept_docs, stats). ``kept_docs`` = (doc_id, lang_id, quality,
-    n_tokens); ``stats`` = (stage, n) rejection lineage."""
+    n_tokens); ``stats`` = (stage, n) rejection lineage.
+
+    ``hash_fn='xxhash64'`` switches the near-dup stage to 64-bit JVM hashes
+    (the scale mode); 'md5' keeps the full chain DuckDB-oracle-reproducible.
+    """
     enriched = docs.select(
         "doc_id",
         "text",
@@ -57,7 +62,9 @@ def curate(
     )
 
     # near-dup: minhash candidates → exact jaccard → drop higher doc_id
-    pairs = T.minhash_candidate_pairs(exact_kept, "text", n_hashes, n_bands, k)
+    pairs = T.minhash_candidate_pairs(
+        exact_kept, "text", n_hashes, n_bands, k, hash_fn
+    )
     confirmed = T.jaccard_pairs(exact_kept, pairs, "text", k).filter(
         F.col("jaccard") >= jaccard_threshold
     )
