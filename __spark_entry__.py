@@ -379,6 +379,20 @@ def _q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (MOSS rolling-hash scheme): per-doc summary of
+    the selected fingerprint set."""
+    from ant_spark.operators import textops as T
+
+    docs = _t(spark, sf_dir, "documents")
+    fps = T.winnow_fingerprints(docs, "text", k=3, w=4)
+    return fps.groupBy("doc_id").agg(
+        F.count("*").alias("n_fp"),
+        F.min("fp").alias("min_fp"),
+        F.max("fp").alias("max_fp"),
+    )
+
+
 def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ant_spark.operators import textops as T
 
@@ -448,6 +462,22 @@ def _q_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_media_frame_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal frame-sampling plan (explode-by-schedule): synthetic video
+    metadata derived from documents; one row per planned frame."""
+    from ant_spark.operators.multimodal import frame_sample_plan
+
+    docs = _t(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("video").alias("kind"),
+        (F.lit(1000) + (F.col("doc_id") * 37) % 5000)
+        .cast("int")
+        .alias("duration_ms"),
+    ).filter(F.col("media_id") % 3 == 2)
+    return frame_sample_plan(media, every_ms=1000)
+
+
 # --- non-SQL-expressible: the E2E crawl + media stub (rows-only checks) ----
 
 
@@ -505,6 +535,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_minhash_sig": _q_minhash_sig,
         "text_jaccard_pairs": _q_jaccard_pairs,
         "text_simhash": _q_simhash,
+        "text_winnow_fingerprints": _q_winnow,
         "text_minhash_lsh_pairs": _q_minhash_lsh_pairs,
         "text_curation_pipeline": _q_curation,
         # similarity search
@@ -512,6 +543,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_lsh_bucket": _q_lsh_bucket,
         "emb_near_dup": _q_emb_near_dup,
         "emb_ivf_assign": _q_ivf_assign,
+        "media_frame_plan": _q_media_frame_plan,
         # non-SQL (rows-only)
         "crawl_e2e_visited": _q_crawl_e2e,
         "media_features_stub": _q_media_features,
@@ -846,6 +878,22 @@ def oracle_sql() -> dict[str, str]:
                          / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 4) AS jaccard
             FROM pairs p JOIN sh a ON p.doc_a = a.doc_id JOIN sh b ON p.doc_b = b.doc_id
         """,
+        "text_winnow_fingerprints": f"""
+            WITH hs AS (
+              SELECT doc_id,
+                list_transform({_SHINGLES_SQL},
+                  s -> ('0x' || substring(md5(s), 1, 15))::BIGINT) AS h
+              FROM documents),
+            fps AS (
+              SELECT doc_id, list_distinct(list_transform(
+                  generate_series(1, greatest(1, len(h) - 4 + 1)),
+                  i -> list_aggregate(h[i : i + 3], 'min'))) AS f
+              FROM hs)
+            SELECT doc_id, len(f)::BIGINT AS n_fp,
+                   list_aggregate(f, 'min')::BIGINT AS min_fp,
+                   list_aggregate(f, 'max')::BIGINT AS max_fp
+            FROM fps
+        """,
         "text_simhash": f"""
             WITH h AS (
               SELECT doc_id,
@@ -937,6 +985,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT vec_id, ({cell_expr})::INT AS cell,
                    round({best}, 4) AS cos_to_centroid
             FROM embeddings
+        """,
+        "media_frame_plan": """
+            WITH media AS (
+              SELECT doc_id AS media_id,
+                     1000 + (doc_id * 37) % 5000 AS duration_ms
+              FROM documents WHERE doc_id % 3 = 2)
+            SELECT media_id, i AS frame_idx, i * 1000 AS ts_ms
+            FROM media,
+                 unnest(generate_series(
+                   0, greatest(duration_ms // 1000 - 1, 0))) AS t(i)
         """,
         # crawl_e2e_visited, media_features_stub: intentionally no oracle
         # (parse UDF / mapInPandas stub are not SQL-expressible) → the driver

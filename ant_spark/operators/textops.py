@@ -403,3 +403,46 @@ def simhash64_flat(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 def hamming64(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
+
+
+# --------------------------------------------------------------------------
+# Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03 — the MOSS
+# local document-fingerprinting algorithm): rolling k-gram hashes, keep the
+# min of every w-window. Guarantees any shared run of ≥ w+k-1 tokens yields
+# a shared fingerprint, with ~2/(w+1) selection density.
+
+
+def winnow_fingerprints(
+    docs: DataFrame, text_col: str = "text", k: int = 3, w: int = 4
+) -> DataFrame:
+    """(doc_id, fp) — distinct winnowed fingerprints per document.
+
+    Flat, scale-safe formulation: posexplode word-k-shingles → md5-derived
+    60-bit hash per shingle → per-doc ordered window min over w positions →
+    distinct. The only shuffle is the per-doc window (bounded by document
+    length, never corpus size); hashes are md5-derived so the DuckDB oracle
+    reproduces them bit-for-bit (same idiom as simhash64_flat).
+    """
+    from pyspark.sql import Window
+
+    sh = docs.select(
+        F.col("doc_id"),
+        F.posexplode(ngram_shingles(F.col(text_col), k)).alias("pos", "sh"),
+    )
+    h = F.conv(F.substring(F.md5(F.col("sh")), 1, 15), 16, 10).cast("long")
+    win = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.currentRow, w - 1)
+    )
+    per_doc = Window.partitionBy("doc_id")
+    return (
+        sh.select("doc_id", "pos", h.alias("h"))
+        .withColumn("wmin", F.min("h").over(win))
+        .withColumn("n", F.count("*").over(per_doc))
+        # windows fully inside the doc; short docs keep their single
+        # (clamped) window at pos 0
+        .filter(F.col("pos") <= F.greatest(F.lit(0), F.col("n") - w))
+        .select("doc_id", F.col("wmin").alias("fp"))
+        .distinct()
+    )

@@ -53,6 +53,19 @@ def main() -> None:
     robots = spark.createDataFrame(robots_pdf, schema=schemas.ROBOTS)
     pages.count()  # materialize the simulated web before the clock starts
 
+    # JIT/codegen warm-up through the full round path (same discipline as
+    # tools/bench_scaling.py: first-run compilation noise is not part of
+    # sustained throughput — a real crawl runs thousands of warm rounds).
+    from ant_spark.sources.webgraph import example_site
+
+    wp, wr, ws = example_site()
+    Engine(
+        spark,
+        spark.createDataFrame(wp, schema=schemas.PAGES),
+        spark.createDataFrame(wr, schema=schemas.ROBOTS),
+        CrawlConfig(max_rounds=3),
+    ).run(ws)
+
     t0 = time.time()
     res = Engine(
         spark,

