@@ -123,7 +123,12 @@ class CrawlConfig:
     # round so the exact anti-join is storage-partitioned — NO Exchange on
     # the seen side. At a 10^10-URL seen set that Exchange is the round's
     # dominant cost, so 'bucketed' is the cluster-scale mode.
-    state_backend: str = "parquet"  # parquet | bucketed
+    # 'auto' starts on parquet deltas (lowest fixed cost for BFS ramp-up)
+    # and migrates the seen set into the bucketed table once it crosses
+    # bucketed_switch_rows — small crawls never pay the staging overhead,
+    # wide frontiers get the Exchange-free anti-join without opting in.
+    state_backend: str = "auto"  # auto | parquet | bucketed
+    bucketed_switch_rows: int = 200_000  # 'auto' migration threshold
     # Stage counters: 'observe' piggybacks df.observe accumulators on the
     # jobs that already run (zero extra Spark jobs per round; counts recorded
     # with partition=-1); 'partition' runs the per-partition lineage job
@@ -342,8 +347,10 @@ class Engine:
         cfg = self.cfg
         spark = self.spark
         root = self._init_dirs()
+        if cfg.state_backend not in ("auto", "parquet", "bucketed"):
+            raise ValueError(f"unknown state_backend {cfg.state_backend!r}")
         self._bucketed = cfg.state_backend == "bucketed"
-        if self._bucketed:
+        if cfg.state_backend != "parquet":
             import hashlib
 
             dig = hashlib.md5(root.encode()).hexdigest()[:10]
@@ -359,7 +366,7 @@ class Engine:
             for name in os.listdir(root):
                 if name.startswith("round="):
                     shutil.rmtree(os.path.join(root, name), ignore_errors=True)
-            if self._bucketed:
+            if cfg.state_backend != "parquet":
                 spark.sql(f"DROP TABLE IF EXISTS {self._seen_tbl}")
                 spark.sql(f"DROP TABLE IF EXISTS {self._links_tbl}")
                 shutil.rmtree(self._seen_tbl_path, ignore_errors=True)
@@ -392,6 +399,8 @@ class Engine:
             r0, manifest = start
             frontier = spark.read.parquet(os.path.join(self._round_dir(root, r0), "frontier"))
             seen_paths = [os.path.join(root, p) for p in manifest["seen_paths"]]
+            if cfg.state_backend == "auto":
+                self._bucketed = bool(manifest.get("bucketed_active", False))
             if self._bucketed:
                 self._seen_register()
             next_seq = manifest["next_seq"]
@@ -919,6 +928,24 @@ class Engine:
                 )
                 seen_paths = [os.path.join(rd, "seen_base")]
 
+            # 'auto' backend migration: once the seen set is big enough that
+            # its per-round anti-join Exchange dominates, fold all deltas
+            # into the bucketed table (a one-time compaction-priced job) and
+            # continue storage-partitioned. Committed atomically with this
+            # round's manifest; a crash in between resumes on parquet and
+            # simply re-migrates (the table create is an overwrite).
+            if (
+                cfg.state_backend == "auto"
+                and not self._bucketed
+                and total_enqueued >= cfg.bucketed_switch_rows
+            ):
+                base_df = spark.read.parquet(*seen_paths).select(
+                    "url_hash", "url", "round"
+                )
+                self._bucketed = True
+                self._seen_write(root, 0, base_df)
+                seen_paths = []
+
             n_new = by_stage.get("enqueued", 0)
             n_fetched = by_stage.get("fetched", 0)
             if cfg.ordering == "bfs":
@@ -944,6 +971,7 @@ class Engine:
                     "frontier_count": frontier_count,
                     "seen_paths": [os.path.relpath(p, root) for p in seen_paths],
                     "state_backend": cfg.state_backend,
+                    "bucketed_active": self._bucketed,
                     "stages": by_stage,
                 },
             )
