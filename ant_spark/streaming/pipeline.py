@@ -11,7 +11,11 @@ feeds extraction/analytics incrementally. This module is that surface:
 - ``stream_extract``: parse UDF → per-page text features, append sink;
 - ``stream_host_counts``: event-time windowed counts per host with a
   watermark on ``warc_ts`` (late-data bound) — the metrics rollup as a
-  streaming agg.
+  streaming agg;
+- ``stream_sessionize``: CUSTOM STATEFUL operator via
+  ``applyInPandasWithState`` — per-host crawl sessions closed by an
+  event-time timeout when a host goes quiet (the streaming twin of the
+  batch ``events_sessionize`` query; state = (start, last, n) per host).
 
 Tests run with ``trigger(availableNow=True)`` so the unbounded pipeline
 drains the existing data and stops (same code path as a live stream).
@@ -94,6 +98,103 @@ def stream_host_counts(
         counts.writeStream.format("memory")
         .queryName("host_counts")
         .outputMode("complete")
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+SESSION_OUT = (
+    "host string, session_start timestamp, session_end timestamp, "
+    "n_pages long"
+)
+_SESSION_STATE = "start long, last long, n long"
+
+
+def stream_sessionize(
+    spark: SparkSession,
+    pages_dir: str,
+    checkpoint_dir: str,
+    gap_minutes: int = 30,
+    watermark: str = "10 minutes",
+    available_now: bool = True,
+    query_name: str = "crawl_sessions",
+):
+    """Per-host crawl sessions as a custom stateful streaming operator.
+
+    ``applyInPandasWithState`` keeps (start, last, n) per host; a session is
+    emitted when the event-time watermark passes ``last + gap`` (the host
+    went quiet). This is the pattern for any reference-style continuous
+    per-key state the built-in windowed aggs can't express — state is
+    Arrow-batched per key, never per-row Python. Sessions still open at
+    shutdown stay in the state store (resume via checkpoint).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    gap_ms = gap_minutes * 60 * 1000
+
+    def fn(key, pdfs, state):
+        def emit(start, last, n):
+            return pd.DataFrame(
+                {
+                    "host": [key[0]],
+                    "session_start": [pd.Timestamp(start, unit="ms")],
+                    "session_end": [pd.Timestamp(last, unit="ms")],
+                    "n_pages": [n],
+                }
+            )
+
+        if state.hasTimedOut:
+            start, last, n = state.get
+            state.remove()
+            yield emit(start, last, n)
+            return
+        ts: list[int] = []
+        for pdf in pdfs:
+            ts.extend((pdf["warc_ts"].astype("int64") // 10**6).tolist())
+        if not ts:
+            return
+        ts.sort()
+        if state.exists:
+            start, last, n = state.get
+        else:
+            start, last, n = ts[0], ts[0], 0
+        # gap-split INSIDE the data too: a page arriving more than `gap`
+        # after the session's last page closes it immediately (the timeout
+        # only covers hosts that go quiet with no further input).
+        for t in ts:
+            if t - last > gap_ms:
+                yield emit(start, last, n)
+                start, last, n = t, t, 1
+            else:
+                last, n = max(last, t), n + 1
+        state.update((start, last, n))
+        state.setTimeoutTimestamp(last + gap_ms)
+
+    pages = (
+        spark.readStream.schema(schemas.PAGES)
+        .option("maxFilesPerTrigger", 1)  # preserve file order → the
+        # watermark advances between micro-batches and fires the timeouts
+        .parquet(pages_dir)
+    )
+    sessions = (
+        pages.select(host_of(F.col("url")).alias("host"), "warc_ts")
+        .withWatermark("warc_ts", watermark)
+        .groupBy("host")
+        .applyInPandasWithState(
+            fn,
+            SESSION_OUT,
+            _SESSION_STATE,
+            "append",
+            GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+    writer = (
+        sessions.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("append")
         .option("checkpointLocation", checkpoint_dir)
     )
     if available_now:

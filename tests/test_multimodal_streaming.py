@@ -78,3 +78,57 @@ def test_jsonl_sink(spark, tmp_path):
 
     files = glob.glob(str(tmp_path / "j" / "*.json"))
     assert len(files) == 1
+
+
+def test_stream_sessionize_stateful(spark, tmp_path):
+    """applyInPandasWithState sessionizer: a host that goes quiet for longer
+    than the gap gets its session emitted when the watermark passes the
+    timeout; the still-open session stays in state (not emitted)."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from ant_spark import schemas
+    from ant_spark.streaming.pipeline import stream_sessionize
+
+    base = dt.datetime(2025, 1, 1, tzinfo=dt.timezone.utc)
+
+    def mkrows(host, ts_list):
+        return [
+            {
+                "url": f"http://{host}/p{i}",
+                "warc_ts": t,
+                "html": b"<html></html>",
+                "text": "",
+                "lang": "en",
+                "status": 200,
+                "ok_after_attempt": None,
+            }
+            for i, t in enumerate(ts_list)
+        ]
+
+    pages_dir = str(tmp_path / "pages")
+    # file 1: an early burst on a.test (3 pages within 5 min)
+    early = mkrows("a.test", [base, base + dt.timedelta(minutes=2),
+                              base + dt.timedelta(minutes=5)])
+    # file 2: two hours later — a.test's early session must time out
+    late = mkrows("a.test", [base + dt.timedelta(hours=2)])
+    s1 = spark.createDataFrame(pd.DataFrame(early), schema=schemas.PAGES)
+    s2 = spark.createDataFrame(pd.DataFrame(late), schema=schemas.PAGES)
+    s1.coalesce(1).write.mode("overwrite").parquet(pages_dir)
+    import time as _time
+
+    _time.sleep(1.1)  # FileStreamSource orders unread files by mtime
+    s2.coalesce(1).write.mode("append").parquet(pages_dir)
+
+    q = stream_sessionize(
+        spark, pages_dir, str(tmp_path / "ckpt"),
+        gap_minutes=30, watermark="1 minutes", query_name="sess_t",
+    )
+    q.awaitTermination(120)
+    out = {r["host"]: r for r in spark.sql("SELECT * FROM sess_t").collect()}
+    assert "a.test" in out, "quiet host session not emitted"
+    r = out["a.test"]
+    assert r["n_pages"] == 3
+    assert r["session_start"] == base.replace(tzinfo=None)
+    assert r["session_end"] == (base + dt.timedelta(minutes=5)).replace(tzinfo=None)
