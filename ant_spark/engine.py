@@ -288,6 +288,30 @@ class Engine:
         else:
             self._write_state(root, r, "seen_delta", delta)
 
+    def _seen_compact(self, root: str, r: int) -> str:
+        """Rewrite the bucketed seen table into fresh per-bucket files at a
+        NEW versioned path (Iceberg ``rewrite_data_files`` analogue): append
+        mode adds one file per bucket per round, so a 1000-round crawl would
+        otherwise scan O(rounds × buckets) files. The manifest committed
+        right after records the new path — a crash in between resumes on the
+        old path (still on disk). Returns the old path for post-commit
+        deletion."""
+        spark = self.spark
+        old_path = self._seen_tbl_path
+        new_path = os.path.join(root, f"seen_tbl_r{r:05d}")
+        df = spark.read.parquet(old_path).select("url_hash", "url", "round")
+        spark.sql(f"DROP TABLE IF EXISTS {self._seen_tbl}")
+        self._seen_tbl_path = new_path
+        (
+            df.write.mode("overwrite")
+            .format("parquet")
+            .bucketBy(self.cfg.state_partitions, "url_hash")
+            .sortBy("url_hash")
+            .option("path", new_path)
+            .saveAsTable(self._seen_tbl)
+        )
+        return old_path
+
     def _seen_register(self) -> None:
         """(Resume) re-register the external bucketed seen table."""
         self.spark.sql(
@@ -356,7 +380,8 @@ class Engine:
             dig = hashlib.md5(root.encode()).hexdigest()[:10]
             self._seen_tbl = f"ant_seen_{dig}"
             self._links_tbl = f"ant_links_{dig}"
-            self._seen_tbl_path = os.path.join(root, "seen_tbl")
+            self._seen_tbl_path = os.path.join(root, "seen_tbl_r00000")
+            self._since_compact = 0
         if not resume:
             # fresh run into an existing checkpoint_dir: clear stale round=*
             # state — otherwise the end-of-run glob folds a previous crawl's
@@ -369,7 +394,9 @@ class Engine:
             if cfg.state_backend != "parquet":
                 spark.sql(f"DROP TABLE IF EXISTS {self._seen_tbl}")
                 spark.sql(f"DROP TABLE IF EXISTS {self._links_tbl}")
-                shutil.rmtree(self._seen_tbl_path, ignore_errors=True)
+                for name in os.listdir(root):
+                    if name.startswith("seen_tbl"):
+                        shutil.rmtree(os.path.join(root, name), ignore_errors=True)
 
         pages_src = self.pages
         if cfg.max_age_seconds is not None and cfg.crawl_ts is not None:
@@ -402,6 +429,8 @@ class Engine:
             if cfg.state_backend == "auto":
                 self._bucketed = bool(manifest.get("bucketed_active", False))
             if self._bucketed:
+                rel = manifest.get("seen_table_path") or "seen_tbl_r00000"
+                self._seen_tbl_path = os.path.join(root, rel)
                 self._seen_register()
             next_seq = manifest["next_seq"]
             total_fetched = manifest["total_fetched"]
@@ -946,6 +975,16 @@ class Engine:
                 self._seen_write(root, 0, base_df)
                 seen_paths = []
 
+            # bucketed-table file compaction: fresh per-bucket files at a
+            # versioned path every seen_compact_every rounds; the old dir is
+            # deleted only after the manifest pointing at the new one commits.
+            old_seen_dir = None
+            if self._bucketed:
+                self._since_compact += 1
+                if self._since_compact >= cfg.seen_compact_every:
+                    old_seen_dir = self._seen_compact(root, r + 1)
+                    self._since_compact = 0
+
             n_new = by_stage.get("enqueued", 0)
             n_fetched = by_stage.get("fetched", 0)
             if cfg.ordering == "bfs":
@@ -972,9 +1011,19 @@ class Engine:
                     "seen_paths": [os.path.relpath(p, root) for p in seen_paths],
                     "state_backend": cfg.state_backend,
                     "bucketed_active": self._bucketed,
+                    "seen_table_path": (
+                        os.path.relpath(self._seen_tbl_path, root)
+                        if self._bucketed
+                        else None
+                    ),
                     "stages": by_stage,
                 },
             )
+
+            if old_seen_dir is not None:
+                import shutil
+
+                shutil.rmtree(old_seen_dir, ignore_errors=True)
 
             # expire STATE of rounds older than the keep window: frontier /
             # seen_delta / seen_base / bloom snapshots are superseded by the

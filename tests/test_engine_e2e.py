@@ -231,3 +231,39 @@ def test_auto_backend_switch_midcrawl(spark, tmp_path):
     urls = [r["url"] for r in res.fetched_log.collect()]
     assert sorted(set(urls)) == sorted(urls)
     assert set(urls) == set(pages_pdf.url)
+
+
+def test_bucketed_seen_table_compaction(spark, tmp_path):
+    """Bucketed backend file compaction: the seen table is rewritten to a
+    fresh versioned path every seen_compact_every rounds, so file count
+    stays O(buckets) instead of O(rounds x buckets); resume follows the
+    manifest's table pointer across the swap."""
+    import os
+
+    cfg = GraphConfig(n_pages=16, n_hosts=1, fanout=1, flaky_every=0,
+                      robots_disallow_hosts=0, dangling_every=0)
+    pages_pdf, robots_pdf, seeds = generate(cfg)
+    pages = spark.createDataFrame(pages_pdf, schema=schemas.PAGES)
+
+    ckpt = str(tmp_path / "bktc")
+    ecfg = dict(checkpoint_dir=ckpt, state_backend="bucketed",
+                seen_compact_every=4, state_partitions=4,
+                expire_state_rounds=2)
+    eng = Engine(spark, pages, None, CrawlConfig(max_rounds=10, **ecfg))
+    eng.run(seeds)
+    r0, manifest = eng.latest_round(ckpt)
+    # table pointer moved past the initial path after >=1 compaction
+    assert manifest["seen_table_path"] != "seen_tbl_r00000"
+    tbl_dir = os.path.join(ckpt, manifest["seen_table_path"])
+    # freshly compacted: rounds-since-compact appends only, not all rounds
+    n_parquet = len([f for f in os.listdir(tbl_dir) if f.endswith(".parquet")])
+    assert n_parquet <= 4 * (4 + 1), n_parquet  # buckets * (1 + since)
+    # exactly one live seen_tbl dir version (old ones deleted post-commit)
+    vers = [d for d in os.listdir(ckpt) if d.startswith("seen_tbl")]
+    assert vers == [manifest["seen_table_path"]], vers
+
+    res = Engine(spark, pages, None, CrawlConfig(max_rounds=50, **ecfg)).run(
+        seeds, resume=True)
+    urls = [r["url"] for r in res.fetched_log.collect()]
+    assert sorted(set(urls)) == sorted(urls)
+    assert set(urls) == set(pages_pdf.url)
