@@ -400,6 +400,48 @@ def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.simhash64_flat(docs, "text")
 
 
+def _q_pack_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LM sequence packing: concat-and-chunk window plan per document."""
+    from ant_spark.operators import textops as T
+
+    docs = _t(spark, sf_dir, "documents")
+    return T.pack_plan(docs, capacity=512)
+
+
+def _q_content_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII/content screening counts; emails/phones injected deterministically
+    so the counts are non-trivial on the synthetic corpus."""
+    from ant_spark.operators import textops as T
+
+    docs = _t(spark, sf_dir, "documents")
+    salted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.concat(
+                    F.lit(" contact bob"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.com"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(F.lit(" call +1555"), (F.col("doc_id") % 10000000).cast("string")),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.lit(" see https://example.com/ref"),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    flags = salted.select("doc_id", T.content_flags(F.col("text")).alias("f"))
+    return flags.select(
+        "doc_id", "f.n_emails", "f.n_urls", "f.n_phones", "f.has_pii"
+    )
+
+
 def _q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ant_spark.operators import textops as T
 
@@ -536,6 +578,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_jaccard_pairs": _q_jaccard_pairs,
         "text_simhash": _q_simhash,
         "text_winnow_fingerprints": _q_winnow,
+        "text_pack_plan": _q_pack_plan,
+        "text_content_flags": _q_content_flags,
         "text_minhash_lsh_pairs": _q_minhash_lsh_pairs,
         "text_curation_pipeline": _q_curation,
         # similarity search
@@ -877,6 +921,50 @@ def oracle_sql() -> dict[str, str]:
                    round(len(list_intersect(a.s, b.s))::DOUBLE
                          / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 4) AS jaccard
             FROM pairs p JOIN sh a ON p.doc_a = a.doc_id JOIN sh b ON p.doc_b = b.doc_id
+        """,
+        "text_pack_plan": f"""
+            WITH t AS (
+              SELECT doc_id, source, {_TOKEN_SQL}::BIGINT AS n_tokens
+              FROM documents),
+            c AS (
+              SELECT doc_id, source, n_tokens,
+                coalesce(sum(n_tokens) OVER (
+                  PARTITION BY source ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS cum_before
+              FROM t)
+            SELECT doc_id, source, n_tokens,
+                   (cum_before // 512)::BIGINT AS start_pack,
+                   (cum_before % 512)::BIGINT AS offset,
+                   ((cum_before + greatest(n_tokens - 1, 0)) // 512
+                    - cum_before // 512 + 1)::BIGINT AS n_windows
+            FROM c
+        """,
+        "text_content_flags": """
+            WITH salted AS (
+              SELECT doc_id, text
+                || (CASE WHEN doc_id % 5 = 0
+                    THEN ' contact bob' || doc_id::VARCHAR || '@example.com'
+                    ELSE '' END)
+                || (CASE WHEN doc_id % 7 = 0
+                    THEN ' call +1555' || (doc_id % 10000000)::VARCHAR
+                    ELSE '' END)
+                || (CASE WHEN doc_id % 3 = 0
+                    THEN ' see https://example.com/ref' ELSE '' END) AS text
+              FROM documents),
+            f AS (
+              SELECT doc_id,
+                len(regexp_extract_all(text,
+                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))::INT
+                  AS n_emails,
+                len(regexp_extract_all(text, 'https?://[^\\s]+'))::INT
+                  AS n_urls,
+                len(regexp_extract_all(text, '\\+?[0-9]{10,12}'))::INT
+                  AS n_phones
+              FROM salted)
+            SELECT doc_id, n_emails, n_urls, n_phones,
+                   (n_emails + n_phones > 0) AS has_pii
+            FROM f
         """,
         "text_winnow_fingerprints": f"""
             WITH hs AS (

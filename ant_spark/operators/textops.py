@@ -406,6 +406,77 @@ def hamming64(a: Column, b: Column) -> Column:
 
 
 # --------------------------------------------------------------------------
+# LM training-data packing + content flags
+
+
+def pack_plan(
+    docs: DataFrame,
+    capacity: int = 2048,
+    text_col: str = "text",
+    group_col: str = "source",
+) -> DataFrame:
+    """Concat-and-chunk sequence-packing plan for LM pretraining: documents
+    are concatenated in deterministic (group, doc_id) order and split into
+    fixed-``capacity`` token windows. Per doc: the window its first token
+    lands in, the offset inside that window, and how many windows it spans.
+
+    One window-cumsum per group partition — the shuffle is on ``group_col``
+    (bounded, user-chosen; e.g. source shard), never a global sort. Token
+    counts use the BPE-ish TOKEN_PATTERN, so the plan is exactly
+    reproducible in SQL.
+    """
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    n_tok = token_count(F.col(text_col))
+    cum_before = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return (
+        docs.select("doc_id", group_col, n_tok.alias("n_tokens"))
+        .withColumn("cum_before", cum_before)
+        .select(
+            "doc_id",
+            group_col,
+            "n_tokens",
+            F.floor(F.col("cum_before") / capacity).alias("start_pack"),
+            (F.col("cum_before") % capacity).alias("offset"),
+            (
+                F.floor(
+                    (F.col("cum_before") + F.greatest(F.col("n_tokens") - 1, F.lit(0)))
+                    / capacity
+                )
+                - F.floor(F.col("cum_before") / capacity)
+                + 1
+            ).alias("n_windows"),
+        )
+    )
+
+
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+URL_RE = r"https?://[^\s]+"
+PHONE_RE = r"\+?[0-9]{10,12}"
+
+
+def content_flags(text_col: Column) -> Column:
+    """PII/content screening signals as one struct column (native regex —
+    per-row, embarrassingly parallel): counts of emails, urls, phone-like
+    digit runs, and a has_pii rollup. The filtering decision stays with the
+    pipeline (curation composes on these columns)."""
+    emails = F.size(F.regexp_extract_all(text_col, F.lit(EMAIL_RE), 0))
+    urls = F.size(F.regexp_extract_all(text_col, F.lit(URL_RE), 0))
+    phones = F.size(F.regexp_extract_all(text_col, F.lit(PHONE_RE), 0))
+    return F.struct(
+        emails.alias("n_emails"),
+        urls.alias("n_urls"),
+        phones.alias("n_phones"),
+        ((emails + phones) > 0).alias("has_pii"),
+    )
+
+
+# --------------------------------------------------------------------------
 # Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03 — the MOSS
 # local document-fingerprinting algorithm): rolling k-gram hashes, keep the
 # min of every w-window. Guarantees any shared run of ≥ w+k-1 tokens yields

@@ -151,3 +151,49 @@ def test_winnow_fingerprints_guarantee(spark):
         "size(split(trim(regexp_replace(lower(text), '\\\\s+', ' ')), ' ')) AS n"
     ).collect()
     assert all(len(v) > 0 for v in by_doc.values())
+
+
+def test_pack_plan_invariants(spark):
+    """Concat-and-chunk packing: offsets stay < capacity, packs are dense
+    per group, window spans match token counts."""
+    import pandas as pd
+
+    rows = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3],
+            "source": ["a", "a", "a", "b"],
+            "text": ["one two three", "four five", "w " * 20, "solo"],
+        }
+    )
+    docs = spark.createDataFrame(rows, schema="doc_id long, source string, text string")
+    out = {r["doc_id"]: r for r in T.pack_plan(docs, capacity=8).collect()}
+    assert out[0]["start_pack"] == 0 and out[0]["offset"] == 0
+    assert out[1]["start_pack"] == 0 and out[1]["offset"] == 3
+    # doc 2: 20 tokens starting at cum 5 -> spans windows 0..3
+    assert out[2]["start_pack"] == 0 and out[2]["n_windows"] == 4
+    # group b starts fresh
+    assert out[3]["start_pack"] == 0 and out[3]["offset"] == 0
+    assert all(r["offset"] < 8 for r in out.values())
+
+
+def test_content_flags(spark):
+    import pandas as pd
+
+    rows = pd.DataFrame(
+        {
+            "doc_id": [0, 1],
+            "text": [
+                "reach me at a.b+spam@test-mail.org or +15551234567 "
+                "and https://x.test/y?z=1 ok",
+                "clean text with no signals",
+            ],
+        }
+    )
+    docs = spark.createDataFrame(rows, schema="doc_id long, text string")
+    out = {
+        r["doc_id"]: r["f"]
+        for r in docs.select("doc_id", T.content_flags(F.col("text")).alias("f")).collect()
+    }
+    assert out[0]["n_emails"] == 1 and out[0]["n_urls"] == 1
+    assert out[0]["n_phones"] == 1 and out[0]["has_pii"]
+    assert out[1]["n_emails"] == 0 and not out[1]["has_pii"]
