@@ -204,16 +204,27 @@ def with_robots(
     robots: DataFrame,
     ua: str,
     path_col: Column,
+    join_strategy: str = "auto",
 ) -> DataFrame:
-    """Broadcast-join robots onto the frontier and add ``robots_allowed`` +
-    ``crawl_delay`` columns (reference J2: LRU lookup → broadcast join)."""
-    rb = F.broadcast(
-        robots.select(
-            F.col("host").alias("_r_host"),
-            F.col("status").alias("_r_status"),
-            F.col("body").alias("_r_body"),
-        )
+    """Join robots onto the frontier and add ``robots_allowed`` +
+    ``crawl_delay`` columns (reference J2: LRU lookup → dimension join).
+
+    ``join_strategy='auto'`` (default) lets Catalyst/AQE pick: small robots
+    dims broadcast (the common case — one row per host, verified by
+    tools/explain_audit.py), while a 10^8-host robots table falls back to a
+    shuffle join instead of OOMing the driver; at that scale bucket both
+    tables by ``host`` in storage for a shuffle-free join.
+    ``'broadcast'`` forces the hint.
+    """
+    rb = robots.select(
+        F.col("host").alias("_r_host"),
+        F.col("status").alias("_r_status"),
+        F.col("body").alias("_r_body"),
     )
+    if join_strategy == "broadcast":
+        rb = F.broadcast(rb)
+    elif join_strategy != "auto":
+        raise ValueError(f"unknown join_strategy {join_strategy!r}")
     allowed_udf = make_allowed_udf(ua)
     delay_udf = make_delay_udf(ua)
     out = (

@@ -35,6 +35,10 @@ def main() -> None:
     ap.add_argument("--max-rounds", type=int, default=None)
     ap.add_argument("--ordering", default="partitioned", choices=["bfs", "partitioned"])
     ap.add_argument("--dedupe", default="exact")
+    ap.add_argument("--state-backend", default="auto",
+                    choices=["auto", "parquet", "bucketed"])
+    ap.add_argument("--metrics-mode", default="observe",
+                    choices=["observe", "partition"])
     ap.add_argument("--ua", default="antbot")
     args = ap.parse_args()
 
@@ -72,6 +76,8 @@ def main() -> None:
         ua=args.ua,
         ordering=args.ordering,
         dedupe=args.dedupe,
+        state_backend=args.state_backend,
+        metrics_mode=args.metrics_mode,
         max_rounds=args.max_rounds,
         checkpoint_dir=args.checkpoint,
     )
