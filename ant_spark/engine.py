@@ -313,9 +313,17 @@ class Engine:
         return old_path
 
     def _seen_register(self) -> None:
-        """(Resume) re-register the external bucketed seen table."""
+        """(Resume) re-register the external bucketed seen table.
+
+        DROP first: a same-session catalog entry can be stale — e.g. a crash
+        between ``_seen_compact`` (which re-points the catalog at the new
+        path) and the manifest commit leaves the catalog at a path the
+        manifest never recorded; appends would then land in a location the
+        next compaction ignores, losing seen rows. The manifest's path wins.
+        """
+        self.spark.sql(f"DROP TABLE IF EXISTS {self._seen_tbl}")
         self.spark.sql(
-            f"CREATE TABLE IF NOT EXISTS {self._seen_tbl} "
+            f"CREATE TABLE {self._seen_tbl} "
             "(url_hash BIGINT, url STRING, round INT) USING PARQUET "
             "CLUSTERED BY (url_hash) SORTED BY (url_hash) "
             f"INTO {self.cfg.state_partitions} BUCKETS "
@@ -373,6 +381,10 @@ class Engine:
         root = self._init_dirs()
         if cfg.state_backend not in ("auto", "parquet", "bucketed"):
             raise ValueError(f"unknown state_backend {cfg.state_backend!r}")
+        if cfg.metrics_mode not in ("observe", "partition"):
+            # an unknown mode would silently zero every stage counter (and
+            # frontier_count with it, ending the crawl after one round)
+            raise ValueError(f"unknown metrics_mode {cfg.metrics_mode!r}")
         self._bucketed = cfg.state_backend == "bucketed"
         if cfg.state_backend != "parquet":
             import hashlib
@@ -426,8 +438,19 @@ class Engine:
             r0, manifest = start
             frontier = spark.read.parquet(os.path.join(self._round_dir(root, r0), "frontier"))
             seen_paths = [os.path.join(root, p) for p in manifest["seen_paths"]]
-            if cfg.state_backend == "auto":
-                self._bucketed = bool(manifest.get("bucketed_active", False))
+            # the MANIFEST is authoritative for which backend holds the seen
+            # state: resuming a parquet-phase checkpoint as if it were
+            # bucketed would register an EMPTY table and re-crawl everything.
+            manifest_bucketed = bool(manifest.get("bucketed_active", False))
+            if manifest_bucketed and cfg.state_backend == "parquet":
+                raise ValueError(
+                    "checkpoint was committed with the bucketed seen backend; "
+                    "resume with state_backend='auto' or 'bucketed'"
+                )
+            self._bucketed = manifest_bucketed
+            # (cfg 'bucketed' over a parquet-phase manifest resumes on
+            # parquet and migrates at the next commit — see the migration
+            # condition in the round loop.)
             if self._bucketed:
                 rel = manifest.get("seen_table_path") or "seen_tbl_r00000"
                 self._seen_tbl_path = os.path.join(root, rel)
@@ -752,7 +775,13 @@ class Engine:
                         flush=True,
                     )
             else:
-                tested = self._bloom.test(links.select("url_hash"), bloom_state)
+                # distinct url_hash probe: two distinct same-round URLs with
+                # colliding hashes must not fan out the equi-join below
+                # (tested would carry one row per INPUT row otherwise,
+                # duplicating both URLs into new_links).
+                tested = self._bloom.test(
+                    links.select("url_hash").distinct(), bloom_state
+                )
                 links_t = links.join(tested, "url_hash", "left")
                 if cfg.dedupe.endswith("_drop"):
                     # reference DedupeBF parity: false positives drop forever
@@ -964,9 +993,12 @@ class Engine:
             # round's manifest; a crash in between resumes on parquet and
             # simply re-migrates (the table create is an overwrite).
             if (
-                cfg.state_backend == "auto"
-                and not self._bucketed
-                and total_enqueued >= cfg.bucketed_switch_rows
+                not self._bucketed
+                and cfg.state_backend != "parquet"
+                and (
+                    cfg.state_backend == "bucketed"  # resumed parquet-phase
+                    or total_enqueued >= cfg.bucketed_switch_rows
+                )
             ):
                 base_df = spark.read.parquet(*seen_paths).select(
                     "url_hash", "url", "round"

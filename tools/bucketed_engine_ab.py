@@ -73,8 +73,9 @@ def main() -> None:
             int(m) for m in re.findall(r"Exchanges=(\d+)", buf.getvalue())
         ]
         r = results.setdefault(
-            backend, {"walls": [], "crawl_walls": [], "exchanges": exchanges}
+            backend, {"walls": [], "crawl_walls": [], "exchanges": []}
         )
+        r["exchanges"].extend(exchanges)  # keep EVERY run's plan evidence
         r["walls"].append(round(wall, 2))
         r["crawl_walls"].append(res.crawl_wall_sec)
         r["urls_per_sec"] = round(res.pages_fetched / res.crawl_wall_sec, 1)
