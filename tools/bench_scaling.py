@@ -182,14 +182,19 @@ Per-round metric breakdown and the per-sf operator timings are produced by
   round. Warm A/B at 32 cores: observe 27.7-31.2s vs per-partition-job mode
   34.8-44.7s (~25% faster); driver-cold bench crawl 51.96s (r1) → ~35-47s.
   Per-partition lineage stays available via `metrics_mode='partition'`.
-- **bucketed seen-state backend** (`state_backend='bucketed'`): the seen
-  set lives in ONE table CLUSTERED BY url_hash; candidates stage into a
-  same-bucketed table, so the engine's exact dedupe anti-join plan has
-  **0 Exchanges** (parquet backend: 10; broadcast disabled). At a 240k-page
-  steady-state round: 30,410 urls/s vs 26,560 (parquet) — and at 10^10 the
-  eliminated seen-side Exchange IS the round's dominant cost. Small BFS
-  ramp-up rounds pay ~1.5s/round staging overhead, so parquet stays the
-  small-graph default. Reproduce: `python tools/bucketed_engine_ab.py`.
+- **bucketed seen-state backend** (`state_backend='bucketed'`, reached
+  automatically via the `'auto'` default once the seen set crosses the
+  threshold): the seen set lives in ONE table CLUSTERED BY url_hash;
+  candidates stage into a same-bucketed table, so the engine's exact dedupe
+  anti-join plan has **0 Exchanges across every measured round** (parquet
+  backend: 8-10; broadcast disabled). Honest local wall-clock: at 240k
+  pages warm, parquet is still FASTER (38.4k vs 31.2k urls/s) because a
+  240k-row in-RAM shuffle is nearly free while the staging write costs
+  ~1.5s — the bucketed win is STRUCTURAL: at a 10^10-URL seen set the
+  eliminated seen-side Exchange is hundreds of GB per round (storage-
+  partitioned Iceberg analogue; see bucketed_join_demo.py for the measured
+  2M-row 3.3s→1.0s join-level effect). Reproduce:
+  `python tools/bucketed_engine_ab.py`.
 - **seen compaction + state expiry**: per-round seen scan is O(1) dirs
   (delta dirs folded every `seen_compact_every` rounds) and round state
   older than `expire_state_rounds` is deleted (logs/manifests kept).
