@@ -128,7 +128,13 @@ class CrawlConfig:
     # bucketed_switch_rows — small crawls never pay the staging overhead,
     # wide frontiers get the Exchange-free anti-join without opting in.
     state_backend: str = "auto"  # auto | parquet | bucketed
-    bucketed_switch_rows: int = 200_000  # 'auto' migration threshold
+    # 'auto' migration threshold: the bucketed mode pays ~1.5s/round of
+    # candidate-staging overhead to delete the seen-side Exchange, so it
+    # should engage once that Exchange is the bigger cost. Local A/B puts
+    # the single-node crossover above 240k rows (in-RAM shuffles are nearly
+    # free); on a real cluster network shuffle makes it pay far earlier —
+    # tune per deployment.
+    bucketed_switch_rows: int = 1_000_000
     # Stage counters: 'observe' piggybacks df.observe accumulators on the
     # jobs that already run (zero extra Spark jobs per round; counts recorded
     # with partition=-1); 'partition' runs the per-partition lineage job
