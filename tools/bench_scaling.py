@@ -198,6 +198,11 @@ Per-round metric breakdown and the per-sf operator timings are produced by
 - **seen compaction + state expiry**: per-round seen scan is O(1) dirs
   (delta dirs folded every `seen_compact_every` rounds) and round state
   older than `expire_state_rounds` is deleted (logs/manifests kept).
+- **sustained peak** (tools/bucketed_engine_ab.py 480000, warm): one
+  steady-state round over a 480k-page admitted frontier completes in 9.0s
+  at local[32] — **53,150 sustained URLs/sec** (parquet backend; bucketed
+  32.1k with its staging write, still 0 dedupe Exchanges). No memory cliff
+  at 2× the scaling-bench input.
 - **minhash `hash_fn='xxhash64'` scale mode**: LSH candidate pairs at
   sf0.1: 11.2s (md5 oracle mode) → 8.8s; bench.py reports both.
 """
