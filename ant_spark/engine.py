@@ -109,7 +109,14 @@ class CrawlConfig:
     ordering: str = "partitioned"  # partitioned | bfs
     seq_partitions: int = 32  # partitioned-ordering hash fan-out
     state_partitions: int = 32  # url_hash buckets for frontier/seen snapshots
-    politeness_salt: int = 8  # skew salting for the budget window
+    # Budget-window skew handling: Spark ≥3.5 pushes a map-side
+    # WindowGroupLimit under rank-filter windows (verified in
+    # tools/skew_politeness_demo.py plans), pruning every host to ≤ budget
+    # rows per input partition BEFORE the shuffle — the optimizer does what
+    # manual salting did, and the single-window plan measures ~2× faster on
+    # a 90%-one-host frontier. salt>1 keeps the explicit two-phase form for
+    # engines without the pushdown.
+    politeness_salt: int = 1
     scrape_spec: dict[str, Any] | None = None
     strict: bool = False  # raise CrawlError on permanent errors
     checkpoint_dir: str | None = None  # resumable state root (None → temp)

@@ -71,7 +71,7 @@ def main() -> None:
         spark,
         pages,
         robots,
-        CrawlConfig(ordering="partitioned", politeness_salt=4, max_rounds=64),
+        CrawlConfig(ordering="partitioned", max_rounds=64),
     ).run(seeds)
     crawl_sec = time.time() - t0
     timings["crawl"] = round(crawl_sec, 3)
