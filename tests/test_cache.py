@@ -83,3 +83,56 @@ def test_revalidate_stale_if_error(spark):
     assert out["decision"] == "stale_error_served"
     assert out["serve_status"] == 200
     assert out["serve_warc_ts"] == BASE.replace(tzinfo=None)
+
+
+def test_revalidate_random_vs_reference(spark):
+    """400 random (cached, origin) rows vs a pure-Python reference of the
+    documented decision chain — covers every combination of freshness,
+    origin presence, status class and validator agreement."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    n = 400
+    statuses = [200, 200, 200, 304, 404, 410, 500, 503]
+    etags = [None, "e1", "e2"]
+    lms = [None, "lm1", "lm2"]
+
+    cached_rows, origin_rows, expect = [], [], {}
+    for i in range(n):
+        url = f"u/{i}"
+        fresh = bool(rng.integers(2))
+        c_ts = NOW - dt.timedelta(minutes=int(10 if fresh else 600))
+        c_etag = etags[rng.integers(3)]
+        c_lm = lms[rng.integers(3)]
+        cached_rows.append((url, c_ts, 200, c_etag, c_lm))
+        has_origin = bool(rng.integers(4))  # 3/4 present
+        o_status = int(statuses[rng.integers(len(statuses))])
+        o_etag = etags[rng.integers(3)]
+        o_lm = lms[rng.integers(3)]
+        if has_origin:
+            origin_rows.append((url, NOW, o_status, o_etag, o_lm))
+        # pure-Python reference of cache.revalidate's decision chain
+        if fresh:
+            d = "fresh"
+        elif not has_origin:
+            d = "miss"
+        elif 500 <= o_status < 600:
+            d = "error"
+        elif o_status != 200:
+            d = "miss"
+        elif (c_etag is not None and c_etag == o_etag) or (
+            c_etag is None and c_lm is not None and c_lm == o_lm
+        ):
+            d = "revalidated"
+        else:
+            d = "replaced"
+        expect[url] = d
+
+    from ant_spark.operators.cache import revalidate
+
+    out = revalidate(
+        _df(spark, cached_rows), _df(spark, origin_rows),
+        F.lit(NOW), max_age_seconds=3600,
+    )
+    got = {r["url"]: r["decision"] for r in out.collect()}
+    assert got == expect

@@ -197,3 +197,40 @@ def test_content_flags(spark):
     assert out[0]["n_emails"] == 1 and out[0]["n_urls"] == 1
     assert out[0]["n_phones"] == 1 and out[0]["has_pii"]
     assert out[1]["n_emails"] == 0 and not out[1]["has_pii"]
+
+
+def test_pack_plan_random_vs_reference(spark):
+    """300 random docs across 5 sources vs a pure-Python cumsum reference
+    of the concat-and-chunk layout."""
+    import re
+
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(11)
+    words = ["alpha", "beta", "x9", "no!", "gamma", "d-e", "f"]
+    rows = []
+    for i in range(300):
+        text = " ".join(words[rng.integers(len(words))] for _ in range(int(rng.integers(0, 40))))
+        rows.append({"doc_id": i, "source": f"s{int(rng.integers(5))}", "text": text})
+    pdf = pd.DataFrame(rows)
+    docs = spark.createDataFrame(pdf, schema="doc_id long, source string, text string")
+
+    cap = 16
+    tok = re.compile(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]")
+    expect = {}
+    for src, grp in pdf.groupby("source"):
+        cum = 0
+        for _, r in grp.sort_values("doc_id").iterrows():
+            n = len(tok.findall(r["text"]))
+            start = cum // cap
+            off = cum % cap
+            n_win = (cum + max(n - 1, 0)) // cap - start + 1
+            expect[r["doc_id"]] = (r["source"], n, start, off, n_win)
+            cum += n
+
+    got = {
+        r["doc_id"]: (r["source"], r["n_tokens"], r["start_pack"], r["offset"], r["n_windows"])
+        for r in T.pack_plan(docs, capacity=cap).collect()
+    }
+    assert got == expect
