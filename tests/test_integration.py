@@ -49,12 +49,17 @@ def test_crawl_to_curation_to_packing(spark):
     plan = pack_plan(curated_docs, capacity=256)
     rows = plan.collect()
     assert len(rows) == n_kept
-    assert all(0 <= r["offset"] < 256 for r in rows)
-    total_tokens = sum(r["n_tokens"] for r in rows)
-    n_windows = max(
-        r["start_pack"] + r["n_windows"] for r in rows if r["source"] == rows[0]["source"]
-    )
-    assert total_tokens > 0 and n_windows >= 1
+    # cross-row invariant: per source, the layout reconstructs the running
+    # token cumsum exactly — start_pack*cap + offset must equal the sum of
+    # n_tokens of all earlier docs in that source (doc_id order)
+    by_src: dict = {}
+    for r in sorted(rows, key=lambda r: (r["source"], r["doc_id"])):
+        cum = by_src.get(r["source"], 0)
+        assert r["start_pack"] * 256 + r["offset"] == cum, r
+        expect_wins = (cum + max(r["n_tokens"] - 1, 0)) // 256 - cum // 256 + 1
+        assert r["n_windows"] == expect_wins, r
+        by_src[r["source"]] = cum + r["n_tokens"]
+    assert sum(by_src.values()) > 0
 
     # content screening composes on the same table
     from ant_spark.operators.textops import content_flags

@@ -1,40 +1,52 @@
-"""Politeness-window skew evidence: Catalyst's WindowGroupLimit vs salting.
+"""Politeness-window skew evidence: budget-cap WindowGroupLimit vs salting.
 
-The north rule calls for skew-aware scheduling windows. The hand-rolled
-answer is the salted two-phase window (politeness.budget_per_host with
-salt>1). The Spark-native answer is to let Catalyst do it: for
-``row_number() OVER (PARTITION BY host ORDER BY seq)`` filtered to
-``rk <= budget``, Spark ≥3.5 inserts a **map-side WindowGroupLimit** that
-prunes every host to ≤ budget rows per input partition BEFORE the shuffle —
-the hot host never materializes as one giant window partition.
+The north rule calls for skew-aware scheduling windows. Catalyst's
+InferWindowGroupLimit (Spark ≥3.5) prunes every host to ≤ k rows per input
+partition BEFORE the shuffle — but ONLY for ``rank <= literal`` filters.
+The engine's real budget is a PER-ROW column (derived from crawl_delay /
+host_rates), which alone gets NO pushdown; the engine therefore passes a
+driver-computed foldable ``budget_cap`` (the max budget any limited row can
+have — Engine._politeness_budget_cap) so the literal conjunct restores the
+map-side pruning, and routes unlimited rows around the window entirely.
 
-This tool builds a deliberately skewed frontier (one host owns 90% of N
-rows), runs split_by_budget at salt=1 (single window + pushdown) vs salt=8
-(manual two-phase), asserts the admitted sets are IDENTICAL, reports
-wall-clock for each, and asserts the salt=1 plan actually contains the
-map-side WindowGroupLimit (the property the engine's salt=1 default
-relies on).
+This tool reproduces that plan with the ENGINE-SHAPED budget (a per-row
+column, not a literal) on a deliberately skewed frontier (one host owns 90%
+of N rows) and checks, for capped-single-window vs manual salted two-phase
+vs naive uncapped:
 
-Measured (40M rows, 90% on one host, local[32], warm): salt=1 1.28s vs
-salt=8 2.55s — the optimizer's pushdown beats manual salting ~2×.
+- all three admit IDENTICAL sets;
+- the capped plan contains the map+reduce WindowGroupLimit PAIR (asserted
+  as ≥2 distinct plan nodes; "formatted" explain prints each node twice);
+- the naive per-row-budget plan contains NONE (the pitfall);
+- wall-clock for each.
 
 Usage: python tools/skew_politeness_demo.py [n_rows] (default 4_000_000)
 """
 
 from __future__ import annotations
 
+import io
 import os
 import sys
 import time
+from contextlib import redirect_stdout
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def n_wgl_nodes(df) -> int:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    # formatted explain mentions each node twice (tree + detail header)
+    return buf.getvalue().count("WindowGroupLimit") // 2
 
 
 def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 4_000_000
     from pyspark.sql import functions as F
 
-    from ant_spark.operators.politeness import split_by_budget
+    from ant_spark.operators.politeness import host_budget_expr, split_by_budget
     from ant_spark.session import get_spark
 
     spark = get_spark(
@@ -42,7 +54,8 @@ def main() -> None:
         master="local[32]",
         extra_conf={"spark.sql.shuffle.partitions": "64"},
     )
-    # 90% of rows on one hot host, the rest spread over 1000 cold hosts
+    # 90% of rows on one hot host, the rest spread over 1000 cold hosts;
+    # per-row crawl_delay column → ENGINE-SHAPED per-row budget expression
     frontier = (
         spark.range(n)
         .select(
@@ -53,43 +66,52 @@ def main() -> None:
                 F.concat(F.lit("cold"), F.pmod(F.col("id"), F.lit(1000)).cast("string"))
             )
             .alias("host"),
+            F.when(F.col("id") % 10 < 9, F.lit(0.06)).otherwise(F.lit(0.3)).alias(
+                "crawl_delay"
+            ),
         )
         .persist()
     )
     frontier.count()
-    budget = F.lit(1000)
+    # budget = floor(60s round / crawl_delay): hot host 1000/round, cold 200
+    budget = host_budget_expr(60.0, 1 << 30, F.col("crawl_delay"))
+    wb = frontier.withColumn("_b", budget)
+    cap = 1000  # = Engine._politeness_budget_cap for this config
 
+    variants = {
+        "naive (per-row budget, no cap)": dict(salt=1, budget_cap=None),
+        "capped single window": dict(salt=1, budget_cap=cap),
+        "salted two-phase": dict(salt=8, budget_cap=None),
+    }
     results = {}
-    for salt in (1, 8, 1, 8):  # alternate; first pair is warm-up
-        t = time.time()
-        admitted, _ = split_by_budget(frontier, budget, ["seq"], salt=salt)
-        got = admitted.agg(
-            F.count("*").alias("n"), F.sum("seq").alias("s")
-        ).collect()[0]
-        dt = time.time() - t
-        results.setdefault(salt, []).append((round(dt, 2), got["n"], got["s"]))
-        print(f"salt={salt}: {dt:.2f}s admitted={got['n']} seqsum={got['s']}")
+    for round_ in range(2):  # first pass is warm-up
+        for name, kw in variants.items():
+            t = time.time()
+            admitted, _ = split_by_budget(wb, F.col("_b"), ["seq"], **kw)
+            got = admitted.agg(
+                F.count("*").alias("n"), F.sum("seq").alias("s")
+            ).collect()[0]
+            dt = time.time() - t
+            results[name] = (round(dt, 2), got["n"], got["s"])
+            if round_:
+                print(f"{name}: {dt:.2f}s admitted={got['n']} seqsum={got['s']}")
 
-    # identical admitted sets (count + seq checksum) across strategies
-    sig = {(v[-1][1], v[-1][2]) for v in results.values()}
-    assert len(sig) == 1, f"salted window changed the admitted set: {results}"
+    sig = {(v[1], v[2]) for v in results.values()}
+    assert len(sig) == 1, f"strategies disagree on the admitted set: {results}"
 
-    # the engine's salt=1 default relies on the map-side group-limit pushdown
-    import io
-    from contextlib import redirect_stdout
+    adm_naive, _ = split_by_budget(wb, F.col("_b"), ["seq"], salt=1, budget_cap=None)
+    adm_cap, _ = split_by_budget(wb, F.col("_b"), ["seq"], salt=1, budget_cap=cap)
+    n_naive, n_cap = n_wgl_nodes(adm_naive), n_wgl_nodes(adm_cap)
+    print(f"WindowGroupLimit nodes: naive(per-row)={n_naive} capped={n_cap}")
+    assert n_naive == 0, "expected NO pushdown for a bare per-row budget"
+    assert n_cap >= 2, "expected map+reduce WindowGroupLimit with the cap"
 
-    admitted, _ = split_by_budget(frontier, budget, ["seq"], salt=1)
-    buf = io.StringIO()
-    with redirect_stdout(buf):
-        admitted.explain("formatted")
-    n_wgl = buf.getvalue().count("WindowGroupLimit")
-    assert n_wgl >= 2, "expected map+reduce side WindowGroupLimit in the plan"
-
-    t1, t8 = results[1][-1][0], results[8][-1][0]
+    t_cap = results["capped single window"][0]
+    t_salt = results["salted two-phase"][0]
     print(
-        f"PASS: identical admitted sets; WindowGroupLimit x{n_wgl} in the "
-        f"salt=1 plan; single-window {t1}s vs salted {t8}s on a "
-        f"90%-one-host frontier of {n:,} rows"
+        f"PASS: identical admitted sets; capped window {t_cap}s vs salted "
+        f"{t_salt}s on a 90%-one-host frontier of {n:,} rows "
+        f"(pushdown verified on the engine-shaped per-row budget)"
     )
 
 
