@@ -460,7 +460,10 @@ class _StreamExtractor(HTMLParser):
 
     def handle_startendtag(self, tag, attrs):
         self._open(tag, attrs, push=False)
-        if tag == "title" and self._title_open:
+        # a self-closing <title/> ends the capture only when IT opened it —
+        # with an outer <title> still on the stack (nested titles), the DOM
+        # path keeps collecting text into the outer element
+        if tag == "title" and self._title_open and "title" not in self._stack:
             self.title = ""
             self._title_open = False
 
@@ -470,14 +473,21 @@ class _StreamExtractor(HTMLParser):
         if tag == "head":
             self._in_body = False  # _DomParser sets mode back to before_body
             return
-        # pop to nearest match, like _DomParser.handle_endtag; an open
-        # <title> swept away by an outer end tag closes its capture too
+        # pop to nearest match, like _DomParser.handle_endtag; the capture
+        # closes only when NO title element remains open afterwards — a
+        # nested </title> (or a sweep that leaves an outer title) must keep
+        # capturing, because the DOM's first-title text spans the outer node
         for i in range(len(self._stack) - 1, -1, -1):
             if self._stack[i] == tag:
-                if self._title_open and "title" in self._stack[i:]:
+                swept = self._stack[i:]
+                del self._stack[i:]
+                if (
+                    self._title_open
+                    and "title" in swept
+                    and "title" not in self._stack
+                ):
                     self.title = "".join(self._title_parts)
                     self._title_open = False
-                del self._stack[i:]
                 break
 
     def handle_data(self, data):

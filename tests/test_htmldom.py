@@ -128,3 +128,20 @@ def test_fixture_about_html():
     assert links == ["http://example.com/", "http://example.com/a.html"]
     assert scraped == {"name": "Ant", "next": "/a.html"}
     assert "Ant" in txt
+
+
+def test_nested_title_stream_dom_parity():
+    """Nested/self-closing <title> corners (hypothesis-found): the stream
+    capture must span the OUTER title like the DOM's first-title text."""
+    from ant_spark.functions.htmldom import fast_extract, parse, stream_extract
+
+    cases = [
+        "<title><title></title>text </title>tail",
+        "<title><title></title>text ",  # unclosed outer (EOF close)
+        "<title>a</title><title>b</title>",
+        "<div><title>x</div>y",  # outer sweep closes the capture
+        "<title/>solo",
+        "<title>out<title/>er</title>",
+    ]
+    for html in cases:
+        assert stream_extract(html) == fast_extract(parse(html)), html
