@@ -48,7 +48,8 @@ _html_atoms = st.sampled_from(
         "<body>", "</body>", "<html>", "</html>", "<!-- c -->", "<li>",
         "</li>", "<script>v&r;</script>", "<b>", "</b>", "text ", "  ",
         "&amp;", "x<y", "<img src=i>", "<!DOCTYPE html>", "\n",
-        "<td>", "<tr>", "</table>", "<table>",
+        "<td>", "<tr>", "</table>", "<table>", "<title/>", "<style>",
+        "</style>", "<option>", "</option>", "<dt>", "<dd>", "</dd>",
     ]
 )
 
