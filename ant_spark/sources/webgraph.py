@@ -90,6 +90,44 @@ def host_sizes(cfg: GraphConfig) -> list[int]:
     return sizes
 
 
+def reachable_public(pages_pdf, seeds: list[str]) -> set[str]:
+    """Reference BFS over the generated graph: the exact set a compliant
+    crawler fetches — robots-denied (/private/) pages are never fetched, so
+    pages linked ONLY from them are unreachable. Uses the same extractor +
+    normalizer the engine uses (plain Python, no Spark)."""
+    import urllib.parse
+
+    from ant_spark.functions.htmldom import stream_extract
+    from ant_spark.functions.urlnorm import normalize_or_none
+
+    html_by_url = dict(zip(pages_pdf.url, pages_pdf.html))
+    seen: set[str] = set()
+    fetched: set[str] = set()
+    queue: list[str] = []
+    for s in seeds:
+        n = normalize_or_none(s)
+        if n and n not in seen:
+            seen.add(n)
+            queue.append(n)
+    while queue:
+        u = queue.pop()
+        if "/private/" in u:
+            continue  # robots-denied: never fetched, links never seen
+        html = html_by_url.get(u)
+        if html is None:
+            continue  # dangling link: 404 consumed
+        fetched.add(u)
+        _, hrefs, _ = stream_extract(html)
+        for h in hrefs:
+            n = normalize_or_none(urllib.parse.urljoin(u, h))
+            if not n or n.split("://", 1)[0] not in ("http", "https"):
+                continue
+            if n not in seen:
+                seen.add(n)
+                queue.append(n)
+    return fetched
+
+
 def host_name(cfg: GraphConfig, h: int) -> str:
     return f"h{h}.test"
 
