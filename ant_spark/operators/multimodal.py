@@ -140,6 +140,68 @@ def extract_features(
     )
 
 
+def resize_images(
+    media: DataFrame, out_w: int = 4, out_h: int = 4, decoder: str = "fake"
+) -> DataFrame:
+    """Image resize stage: mapInPandas over payload bytes → resized payload
+    + updated dims. Production plumbing (schema, Arrow batching, per-batch
+    numpy) is real; the pixel kernel is the same honest stub as
+    extract_features — the fake decoder treats the body bytes as a row-major
+    grid and block-averages it down to (out_h × out_w), re-wrapping the
+    result in the synthetic header. decoder='real' marks where a pillow
+    kernel drops in."""
+    if decoder == "real":
+        raise NotImplementedError(
+            "real image resize needs pillow — not available in this "
+            "container; only the per-batch kernel changes."
+        )
+    if decoder != "fake":
+        raise ValueError(f"unknown decoder {decoder!r}")
+
+    def _resize_one(payload: bytes) -> bytes | None:
+        if payload is None or len(payload) < 16 or payload[:4] != _MAGIC:
+            return None
+        w, h, d = struct.unpack("<III", payload[4:16])
+        body = np.frombuffer(payload[16:], dtype=np.uint8)
+        # fake grid: pad/trim body to w*h, block-average to out_h*out_w
+        grid = np.resize(body.astype(np.float32), w * h).reshape(h, w)
+        ys = np.array_split(np.arange(h), out_h)
+        xs = np.array_split(np.arange(w), out_w)
+        out = np.array(
+            [[grid[np.ix_(y, x)].mean() if len(y) and len(x) else 0.0
+              for x in xs] for y in ys],
+            dtype=np.float32,
+        )
+        small = out.astype(np.uint8).tobytes()
+        return _MAGIC + struct.pack("<III", out_w, out_h, d) + small
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            resized = b["payload"].map(_resize_one)
+            yield pd.DataFrame(
+                {
+                    "media_id": b["media_id"],
+                    "kind": b["kind"],
+                    "mime": b["mime"],
+                    "width": pd.Series(
+                        [None if p is None else out_w for p in resized],
+                        dtype=object,
+                    ),
+                    "height": pd.Series(
+                        [None if p is None else out_h for p in resized],
+                        dtype=object,
+                    ),
+                    "duration_ms": pd.Series(
+                        [None if pd.isna(v) else int(v) for v in b["duration_ms"]],
+                        dtype=object,
+                    ),
+                    "payload": resized,
+                }
+            )
+
+    return media.filter(F.col("kind") == "image").mapInPandas(fn, MEDIA)
+
+
 def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame-sampling plan: one row per planned frame (native exprs —
     the decode of each frame is the stubbed kernel above). Demonstrates the

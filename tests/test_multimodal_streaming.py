@@ -132,3 +132,29 @@ def test_stream_sessionize_stateful(spark, tmp_path):
     assert r["n_pages"] == 3
     assert r["session_start"] == base.replace(tzinfo=None)
     assert r["session_end"] == (base + dt.timedelta(minutes=5)).replace(tzinfo=None)
+
+
+def test_resize_images_stub(spark):
+    """Resize stage: real mapInPandas plumbing, fake block-average kernel —
+    output payloads re-wrap the synthetic header with the new dims."""
+    import struct
+
+    from ant_spark.operators.multimodal import MEDIA, resize_images, synth_media
+
+    media = spark.createDataFrame(synth_media(30), schema=MEDIA)
+    out = resize_images(media, out_w=4, out_h=2).collect()
+    n_images = media.filter("kind = 'image'").count()
+    assert len(out) == n_images and n_images > 0
+    for r in out:
+        assert r["kind"] == "image"
+        assert (r["width"], r["height"]) == (4, 2)
+        p = bytes(r["payload"])
+        assert p[:4] == b"ASMK"
+        w, h, _d = struct.unpack("<III", p[4:16])
+        assert (w, h) == (4, 2)
+        assert len(p) == 16 + 4 * 2  # header + out_h*out_w fake pixels
+    # deterministic: same input -> same bytes
+    again = resize_images(media, out_w=4, out_h=2).collect()
+    assert {r["media_id"]: bytes(r["payload"]) for r in out} == {
+        r["media_id"]: bytes(r["payload"]) for r in again
+    }
