@@ -66,6 +66,7 @@ from ant_spark.functions.urlnorm import (
     url_hash,
 )
 from ant_spark.operators import politeness, robots as robots_ops
+from ant_spark.operators.politeness import UNLIMITED_BUDGET
 from ant_spark.operators.dedupe import BloomSidecar, exact_new, first_occurrence
 
 
@@ -80,7 +81,7 @@ class CrawlConfig:
     ua: str = "antbot"  # reference default UA (fetcher.go:25)
     matcher: Callable | None = None  # Column-predicate builder (matchers.py)
     round_seconds: float = 1.0  # logical round duration (politeness clock)
-    default_host_budget: int = 1 << 30  # per-host rows/round when unlimited
+    default_host_budget: int = UNLIMITED_BUDGET  # per-host rows/round cap
     host_rates: dict[str, int] = field(default_factory=dict)  # LimitHostname
     global_rate: int | None = None  # Limit(n) — global rows/round
     max_attempts: int = 5  # fetcher.go:100-104 default
@@ -232,7 +233,7 @@ class Engine:
         cfg = self.cfg
         if cfg.host_rates or cfg.global_rate is not None or cfg.pattern_rates:
             return False
-        if cfg.default_host_budget < (1 << 30):
+        if cfg.default_host_budget < UNLIMITED_BUDGET:
             return False
         if self._robots_has_delay is None:
             self._robots_has_delay = (
@@ -256,7 +257,7 @@ class Engine:
 
         cfg = self.cfg
         cands = [1]
-        if cfg.default_host_budget < (1 << 30):
+        if cfg.default_host_budget < UNLIMITED_BUDGET:
             cands.append(int(cfg.default_host_budget))
         for n in (cfg.host_rates or {}).values():
             cands.append(int(math.floor(float(n) * cfg.round_seconds)))
@@ -265,13 +266,9 @@ class Engine:
                 from ant_spark.operators.robots import make_delay_udf
 
                 d = make_delay_udf(cfg.ua)(F.col("body"), F.col("status"))
-                # mirror host_budget_expr's delay_budget expression exactly
-                b = F.when(
-                    d.isNotNull() & (d > 0),
-                    F.greatest(
-                        F.floor(F.lit(cfg.round_seconds) / d), F.lit(1)
-                    ),
-                )
+                # the SAME expression host_budget_expr applies per row, so
+                # the cap can never drift below a row's real budget
+                b = politeness.delay_budget_expr(cfg.round_seconds, d)
                 row = self.robots.agg(F.max(b)).collect()[0][0]
                 self._max_delay_budget = int(row) if row is not None else 0
             cands.append(self._max_delay_budget)
@@ -680,8 +677,8 @@ class Engine:
                     # giant window partition); limited rows go through the
                     # capped window, whose foldable cap fires the map-side
                     # WindowGroupLimit pruning.
-                    unlimited = wb.filter(F.col("_b") >= (1 << 30))
-                    limited = wb.filter(F.col("_b") < (1 << 30))
+                    unlimited = wb.filter(F.col("_b") >= UNLIMITED_BUDGET)
+                    limited = wb.filter(F.col("_b") < UNLIMITED_BUDGET)
                     adm_l, deferred = politeness.split_by_budget(
                         limited,
                         F.col("_b"),

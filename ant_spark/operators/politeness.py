@@ -29,6 +29,24 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+# Sentinel for "no limiter binds this row" — rows at/above this budget are
+# admitted without entering the budget window. Shared by CrawlConfig's
+# default_host_budget, the engine's static-off/unlimited checks, and the
+# budget-cap computation; keep it in ONE place.
+UNLIMITED_BUDGET = 1 << 30
+
+
+def delay_budget_expr(round_seconds: float, delay_col: Column) -> Column:
+    """Budget granted by a robots Crawl-delay: floor(round/delay), min 1 so
+    progress is guaranteed even when delay > round_seconds
+    (cache.go:114-136; SURVEY.md §7 BSP equivalence). Shared by
+    host_budget_expr and Engine._politeness_budget_cap so the cap can never
+    drift below a row's real budget."""
+    return F.when(
+        delay_col.isNotNull() & (delay_col > 0),
+        F.greatest(F.floor(F.lit(round_seconds) / delay_col), F.lit(1)),
+    )
+
 
 def budget_per_host(
     frontier: DataFrame,
@@ -52,6 +70,12 @@ def budget_per_host(
     ``split_by_budget`` to recover the full deferred set.
     """
     order_cols = order_cols or ["seq"]
+    if budget_cap is not None and salt > 1:
+        raise ValueError(
+            "budget_cap only applies to the single-window form (salt<=1); "
+            "the salted two-phase path would silently skip the map-side "
+            "WindowGroupLimit pruning the cap exists to enable"
+        )
     b = budget_col.cast("long")
     df = frontier.withColumn("_budget", b)
     if budget_cap is not None and salt <= 1:
@@ -144,10 +168,9 @@ def host_budget_expr(
         if expr is not None:
             rate = expr.otherwise(F.lit(None))
         budget = F.least(budget, F.coalesce(rate, budget))
-    delay_budget = F.when(
-        crawl_delay_col.isNotNull() & (crawl_delay_col > 0),
-        F.greatest(F.floor(F.lit(round_seconds) / crawl_delay_col), F.lit(1)),
-    ).otherwise(F.lit(None))
+    delay_budget = delay_budget_expr(round_seconds, crawl_delay_col).otherwise(
+        F.lit(None)
+    )
     budget = F.least(budget, F.coalesce(delay_budget.cast("double"), budget))
     return F.greatest(F.floor(budget), F.lit(1)).cast("long")
 

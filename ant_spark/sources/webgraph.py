@@ -96,6 +96,7 @@ def reachable_public(pages_pdf, seeds: list[str]) -> set[str]:
     pages linked ONLY from them are unreachable. Uses the same extractor +
     normalizer the engine uses (plain Python, no Spark)."""
     import urllib.parse
+    from collections import deque
 
     from ant_spark.functions.htmldom import stream_extract
     from ant_spark.functions.urlnorm import normalize_or_none
@@ -103,14 +104,15 @@ def reachable_public(pages_pdf, seeds: list[str]) -> set[str]:
     html_by_url = dict(zip(pages_pdf.url, pages_pdf.html))
     seen: set[str] = set()
     fetched: set[str] = set()
-    queue: list[str] = []
+    queue: deque[str] = deque()
     for s in seeds:
         n = normalize_or_none(s)
         if n and n not in seen:
             seen.add(n)
             queue.append(n)
     while queue:
-        u = queue.pop()
+        u = queue.popleft()  # true BFS (the SET is order-independent, but
+        # depth-dependent oracles built on this must see BFS depths)
         if "/private/" in u:
             continue  # robots-denied: never fetched, links never seen
         html = html_by_url.get(u)
