@@ -155,6 +155,8 @@ class _DomParser(HTMLParser):
                 html.attrs = list(attrs)
             return
         if tag == "head":
+            if self._body is not None or self._stack:
+                return  # HTML5 "in body": a stray <head> start is ignored
             head = self._ensure_head()
             if not head.attrs:
                 head.attrs = list(attrs)
@@ -215,8 +217,8 @@ class _DomParser(HTMLParser):
 
     def handle_endtag(self, tag):
         if tag in ("html", "head", "body"):
-            if tag == "head":
-                self._mode = "before_body"
+            if tag == "head" and self._body is None and not self._stack:
+                self._mode = "before_body"  # in body: stray </head> ignored
             return
         # Pop to the nearest matching open element (ignore stray end tags).
         for i in range(len(self._stack) - 1, -1, -1):
@@ -419,6 +421,8 @@ class _StreamExtractor(HTMLParser):
         if tag == "html":
             return
         if tag == "head":
+            if self._in_body or self._stack:
+                return  # HTML5 "in body": a stray <head> start is ignored
             self._in_body = False  # _DomParser sets mode = "before_body"
             return
         if tag == "body":
@@ -471,7 +475,9 @@ class _StreamExtractor(HTMLParser):
         if tag in ("html", "body"):
             return
         if tag == "head":
-            self._in_body = False  # _DomParser sets mode back to before_body
+            if not self._in_body and not self._stack:
+                self._in_body = False  # mirror _DomParser: only honored
+                # before any body content (stray in-body </head> ignored)
             return
         # pop to nearest match, like _DomParser.handle_endtag; the capture
         # closes only when NO title element remains open afterwards — a

@@ -145,3 +145,21 @@ def test_nested_title_stream_dom_parity():
     ]
     for html in cases:
         assert stream_extract(html) == fast_extract(parse(html)), html
+
+
+def test_stray_in_body_head_ignored():
+    """HTML5 'in body': a <head> start after body content is a parse error
+    and IGNORED (x/net/html does the same) — it must not re-route
+    subsequent nodes or reorder extracted text (hypothesis-found)."""
+    from ant_spark.functions.htmldom import fast_extract, parse, stream_extract
+
+    cases = [
+        "<p><head><p>  </p>text ",  # text order must stay source order
+        "<p><head>x",
+        "<p></p><head>  <p>y",
+        "<head><p>a</head>b",  # </head> after body content also ignored
+    ]
+    for html in cases:
+        s, d = stream_extract(html), fast_extract(parse(html))
+        assert s == d, (html, s, d)
+    assert stream_extract("<p><head><p>  </p>text ")[0] == "  text "
