@@ -447,10 +447,19 @@ class Engine:
             # state — otherwise the end-of-run glob folds a previous crawl's
             # fetched_log/extracted into this CrawlResult.
             import shutil
+            import warnings
 
-            for name in os.listdir(root):
-                if name.startswith("round="):
-                    shutil.rmtree(os.path.join(root, name), ignore_errors=True)
+            stale = [n for n in os.listdir(root) if n.startswith("round=")]
+            if stale:
+                warnings.warn(
+                    f"ant_spark: fresh run (resume=False) into existing "
+                    f"checkpoint_dir {root!r} — deleting {len(stale)} prior "
+                    f"round=* dir(s) including their fetched_log/extracted "
+                    f"output; pass resume=True to continue the previous crawl",
+                    stacklevel=2,
+                )
+            for name in stale:
+                shutil.rmtree(os.path.join(root, name), ignore_errors=True)
             if cfg.state_backend != "parquet":
                 spark.sql(f"DROP TABLE IF EXISTS {self._seen_tbl}")
                 spark.sql(f"DROP TABLE IF EXISTS {self._links_tbl}")

@@ -24,6 +24,13 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _age_interval(max_age_seconds: float) -> Column:
+    """max_age as a day-time interval literal — make_dt_interval keeps
+    sub-second precision (an f-string ``INTERVAL {int(...)}`` would silently
+    truncate fractional ages) and avoids string-built SQL."""
+    return F.make_dt_interval(secs=F.lit(float(max_age_seconds)))
+
+
 def fresh_only(
     pages: DataFrame, as_of_ts: Column, max_age_seconds: float
 ) -> DataFrame:
@@ -32,7 +39,7 @@ def fresh_only(
     Stays a plain predicate so Catalyst pushes it into the parquet scan
     (partition pruning when the table is date-partitioned on warc_ts).
     """
-    cutoff = as_of_ts - F.expr(f"INTERVAL {int(max_age_seconds)} SECONDS")
+    cutoff = as_of_ts - _age_interval(max_age_seconds)
     return pages.filter(F.col("warc_ts") >= cutoff)
 
 
@@ -90,7 +97,7 @@ def revalidate(
     a small origin probe, or sort-merge-joins two url-bucketed tables
     shuffle-free at corpus scale.
     """
-    cutoff = as_of_ts - F.expr(f"INTERVAL {int(max_age_seconds)} SECONDS")
+    cutoff = as_of_ts - _age_interval(max_age_seconds)
     o = origin.select(
         "url",
         F.col("warc_ts").alias("_o_ts"),

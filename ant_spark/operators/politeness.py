@@ -216,10 +216,27 @@ def rule_budget(
     tagged = frontier.withColumn("_rule", rule_id).withColumn("_rb", budget)
     unlimited = tagged.filter(F.col("_rule") == -1).drop("_rule", "_rb")
     limited = tagged.filter(F.col("_rule") >= 0)
+    # Skew protection: per-rule budgets are driver-known literals, so the
+    # max over them is a FOLDABLE cap — the literal conjunct fires Catalyst's
+    # InferWindowGroupLimit (map-side prune of a rule matching 10^9 rows to
+    # ≤ cap rows per input partition BEFORE the shuffle), exactly like the
+    # engine's host-budget window (budget_per_host budget_cap). The exact
+    # per-rule compare then runs on the ≤ cap survivors.
+    cap = max(max(1, int(n * round_seconds)) for _, _, n in rules)
     w = Window.partitionBy("_rule").orderBy(*order_cols)
-    ranked = limited.withColumn("_rk", F.row_number().over(w))
+    ranked = limited.withColumn("_rk", F.row_number().over(w)).filter(
+        F.col("_rk") <= F.lit(cap)
+    )
     admitted = ranked.filter(F.col("_rk") <= F.col("_rb")).drop("_rule", "_rb", "_rk")
-    deferred = ranked.filter(F.col("_rk") > F.col("_rb")).drop("_rule", "_rb", "_rk")
+    # rows ranked past the cap were pruned from `ranked`; recover the full
+    # deferred set by anti-joining the limited rows against the admitted
+    # seqs (globally unique). The admitted side is ≤ n_rules × cap rows —
+    # driver-known tiny — so broadcast it: the big side never shuffles.
+    deferred = limited.drop("_rule", "_rb").join(
+        F.broadcast(admitted.select(F.col("seq").alias("_a_seq"))),
+        F.col("seq") == F.col("_a_seq"),
+        "left_anti",
+    )
     return unlimited.unionByName(admitted), deferred
 
 

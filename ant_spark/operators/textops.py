@@ -465,9 +465,12 @@ def content_flags(text_col: Column) -> Column:
     per-row, embarrassingly parallel): counts of emails, urls, phone-like
     digit runs, and a has_pii rollup. The filtering decision stays with the
     pipeline (curation composes on these columns)."""
-    emails = F.size(F.regexp_extract_all(text_col, F.lit(EMAIL_RE), 0))
-    urls = F.size(F.regexp_extract_all(text_col, F.lit(URL_RE), 0))
-    phones = F.size(F.regexp_extract_all(text_col, F.lit(PHONE_RE), 0))
+    # coalesce text to '' so NULL-text rows yield zero counts and a concrete
+    # has_pii=false (a NULL has_pii would vanish from BOTH filter branches)
+    t = F.coalesce(text_col, F.lit(""))
+    emails = F.size(F.regexp_extract_all(t, F.lit(EMAIL_RE), 0))
+    urls = F.size(F.regexp_extract_all(t, F.lit(URL_RE), 0))
+    phones = F.size(F.regexp_extract_all(t, F.lit(PHONE_RE), 0))
     return F.struct(
         emails.alias("n_emails"),
         urls.alias("n_urls"),

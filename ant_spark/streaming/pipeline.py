@@ -170,8 +170,18 @@ def stream_sessionize(
                 start, last, n = t, t, 1
             else:
                 last, n = max(last, t), n + 1
-        state.update((start, last, n))
-        state.setTimeoutTimestamp(last + gap_ms)
+        # the state store rejects a timeout at/behind the already-advanced
+        # watermark (out-of-order FILE arrival can deliver a batch whose max
+        # event time trails it) — close such a session now instead of
+        # crashing the query, and clamp otherwise.
+        wm = state.getCurrentWatermarkMs()
+        if last + gap_ms <= wm:
+            if state.exists:
+                state.remove()
+            yield emit(start, last, n)
+        else:
+            state.update((start, last, n))
+            state.setTimeoutTimestamp(max(last + gap_ms, wm + 1))
 
     pages = (
         spark.readStream.schema(schemas.PAGES)

@@ -26,7 +26,32 @@ def test_rule_budget_pattern_and_regexp(spark):
     )
     a = sorted(r["seq"] for r in admitted.collect())
     assert a == [0, 1, 100, 101, 102]
-    assert deferred.count() == 5
+    assert sorted(r["seq"] for r in deferred.collect()) == [2, 3, 4, 5, 103]
+
+
+def test_rule_budget_capped_window_pushdown(spark):
+    """The per-rule budget window carries a foldable cap (max over the
+    driver-known rule budgets) so InferWindowGroupLimit prunes a skewed rule
+    map-side — same trick as the engine's host-budget window."""
+    import io
+    from contextlib import redirect_stdout
+
+    from ant_spark.operators.politeness import rule_budget
+
+    rows = [(f"http://a.test/x/{i}", i, "a.test", i) for i in range(50)]
+    fr = spark.createDataFrame(rows, "url string, url_hash long, host string, seq long")
+    admitted, deferred = rule_budget(
+        fr, [("pattern", "a.test/x/*", 4)], round_seconds=1.0
+    )
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        admitted.explain("formatted")
+    # formatted explain prints each physical node twice (tree + detail)
+    assert buf.getvalue().count("WindowGroupLimit") // 2 >= 2, (
+        "expected map+reduce WindowGroupLimit pair in the rule-budget plan"
+    )
+    assert sorted(r["seq"] for r in admitted.collect()) == [0, 1, 2, 3]
+    assert deferred.count() == 46
 
 
 def test_cache_freshness_and_merge(spark):

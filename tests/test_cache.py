@@ -22,6 +22,19 @@ def _df(spark, rows):
     )
 
 
+def test_fresh_only_fractional_max_age(spark):
+    """Sub-second max_age must not truncate to 0s (the old f-string INTERVAL
+    cast did): a row 0.3s old is fresh under max_age=0.5 and stale under 0.2."""
+    from ant_spark.operators.cache import fresh_only
+
+    pages = spark.createDataFrame(
+        [("http://x/1", BASE)], "url string, warc_ts timestamp"
+    )
+    now = BASE + dt.timedelta(milliseconds=300)
+    assert fresh_only(pages, F.lit(now), max_age_seconds=0.5).count() == 1
+    assert fresh_only(pages, F.lit(now), max_age_seconds=0.2).count() == 0
+
+
 def test_revalidate_decisions(spark):
     from ant_spark.operators.cache import revalidate
 

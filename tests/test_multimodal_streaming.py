@@ -134,6 +134,60 @@ def test_stream_sessionize_stateful(spark, tmp_path):
     assert r["session_end"] == (base + dt.timedelta(minutes=5)).replace(tzinfo=None)
 
 
+def test_stream_sessionize_out_of_order_file(spark, tmp_path):
+    """A later FILE can carry events far BEHIND the already-advanced
+    watermark (out-of-order arrival). Setting a timeout at last+gap would
+    then be rejected by the state store and kill the query — the sessionizer
+    must close such a session immediately instead."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from ant_spark import schemas
+    from ant_spark.streaming.pipeline import stream_sessionize
+
+    base = dt.datetime(2025, 6, 1, tzinfo=dt.timezone.utc)
+
+    def mkrows(host, ts_list):
+        return [
+            {
+                "url": f"http://{host}/p{i}",
+                "warc_ts": t,
+                "html": b"<html></html>",
+                "text": "",
+                "lang": "en",
+                "status": 200,
+                "ok_after_attempt": None,
+            }
+            for i, t in enumerate(ts_list)
+        ]
+
+    pages_dir = str(tmp_path / "pages")
+    # file 1: a.test far in the FUTURE → watermark advances way past base
+    future = mkrows("a.test", [base + dt.timedelta(hours=5)])
+    # file 2: b.test at base — 5h behind the watermark, > gap in the past
+    past = mkrows("b.test", [base, base + dt.timedelta(minutes=3)])
+    s1 = spark.createDataFrame(pd.DataFrame(future), schema=schemas.PAGES)
+    s2 = spark.createDataFrame(pd.DataFrame(past), schema=schemas.PAGES)
+    s1.coalesce(1).write.mode("overwrite").parquet(pages_dir)
+    import time as _time
+
+    _time.sleep(1.1)  # FileStreamSource orders unread files by mtime
+    s2.coalesce(1).write.mode("append").parquet(pages_dir)
+
+    q = stream_sessionize(
+        spark, pages_dir, str(tmp_path / "ckpt"),
+        gap_minutes=30, watermark="1 minutes", query_name="sess_ooo",
+    )
+    q.awaitTermination(120)  # would raise StreamingQueryException pre-fix
+    out = {r["host"]: r for r in spark.sql("SELECT * FROM sess_ooo").collect()}
+    assert "b.test" in out, "behind-watermark session not closed"
+    assert out["b.test"]["n_pages"] == 2
+    assert out["b.test"]["session_end"] == (
+        base + dt.timedelta(minutes=3)
+    ).replace(tzinfo=None)
+
+
 def test_resize_images_stub(spark):
     """Resize stage: real mapInPandas plumbing, fake block-average kernel —
     output payloads re-wrap the synthetic header with the new dims."""

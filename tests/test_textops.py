@@ -199,6 +199,15 @@ def test_content_flags(spark):
     assert out[1]["n_emails"] == 0 and not out[1]["has_pii"]
 
 
+def test_content_flags_null_text(spark):
+    """NULL text must yield concrete zeros, not NULLs — a NULL has_pii row
+    would vanish from both has_pii and NOT has_pii filters."""
+    docs = spark.createDataFrame([(0, None)], "doc_id long, text string")
+    r = docs.select(T.content_flags(F.col("text")).alias("f")).collect()[0]["f"]
+    assert r["n_emails"] == 0 and r["n_urls"] == 0 and r["n_phones"] == 0
+    assert r["has_pii"] is False
+
+
 def test_pack_plan_random_vs_reference(spark):
     """300 random docs across 5 sources vs a pure-Python cumsum reference
     of the concat-and-chunk layout."""

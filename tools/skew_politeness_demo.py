@@ -114,6 +114,30 @@ def main() -> None:
         f"(pushdown verified on the engine-shaped per-row budget)"
     )
 
+    # --- rule_budget (LimitPattern/LimitRegexp) skew case ------------------
+    # ONE rule matching EVERY row is the worst case: without the foldable
+    # cap the whole frontier lands in a single `_rule` window partition.
+    # rule_budget now caps with max(rule budgets) — assert the pushdown
+    # fires and the one-partition window still returns in bounded time.
+    from ant_spark.operators.politeness import rule_budget
+
+    rules = [("regexp", "hot|cold", 500)]  # matches every synthetic URL
+    fr_urls = frontier.withColumn(
+        "url", F.concat(F.lit("http://"), F.col("host"), F.lit("/p"),
+                        F.col("seq").cast("string"))
+    )
+    t = time.time()
+    adm_r, def_r = rule_budget(fr_urls, rules, round_seconds=1.0)
+    n_adm = adm_r.count()
+    dt_rule = time.time() - t
+    n_wgl = n_wgl_nodes(adm_r)
+    print(
+        f"rule_budget one-rule-matches-all: {dt_rule:.2f}s admitted={n_adm} "
+        f"WindowGroupLimit nodes={n_wgl} (n={n:,} rows through ONE rule)"
+    )
+    assert n_adm == 500, f"rule budget must admit exactly 500, got {n_adm}"
+    assert n_wgl >= 2, "expected map+reduce WindowGroupLimit in rule_budget"
+
 
 if __name__ == "__main__":
     main()
