@@ -524,7 +524,12 @@ def _q_media_frame_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_crawl_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The flagship crawl through the real engine (parse UDF → not SQL)."""
+    """The flagship crawl through the real engine. The crawl itself (parse
+    UDF, robots, dedupe, seq assignment) is not SQL-expressible — but its
+    OUTPUT on the golden site is fully deterministic (reference
+    engine_test.go:28-49, Workers=1 FIFO), so the oracle pins the expected
+    visited set as a VALUES literal: 5 rows, seqs [0,1,2,4,5] (search.html
+    consumed seq 3 but is robots-denied)."""
     from ant_spark import schemas
     from ant_spark.engine import CrawlConfig, Engine
     from ant_spark.sources.webgraph import example_site
@@ -1084,7 +1089,22 @@ def oracle_sql() -> dict[str, str]:
                  unnest(generate_series(
                    0, greatest(duration_ms // 1000 - 1, 0))) AS t(i)
         """,
-        # crawl_e2e_visited, media_features_stub: intentionally no oracle
-        # (parse UDF / mapInPandas stub are not SQL-expressible) → the driver
-        # records the weaker rows-only check.
+        # crawl_e2e_visited: the engine run is not SQL-expressible, but its
+        # golden-site output IS deterministic (engine_test.go:28-49) — pin it
+        # as a VALUES oracle so the flagship gets a full rows+schema+hash
+        # check instead of rows-only.
+        "crawl_e2e_visited": """
+            SELECT seq::BIGINT AS seq, url, status::INT AS status,
+                   n_links::INT AS n_links
+            FROM (VALUES
+              (0, 'http://example.com/', 200, 3),
+              (1, 'http://example.com/about.html', 200, 2),
+              (2, 'http://example.com/products.html', 200, 2),
+              (4, 'http://example.com/a.html', 200, 0),
+              (5, 'http://example.com/b.html', 200, 0)
+            ) AS t(seq, url, status, n_links)
+        """,
+        # media_features_stub: intentionally no oracle (mapInPandas stub
+        # kernel is not SQL-expressible) → the driver records the weaker
+        # rows-only check.
     }
