@@ -414,29 +414,60 @@ def pack_plan(
     capacity: int = 2048,
     text_col: str = "text",
     group_col: str = "source",
+    shard_size: int = 1 << 20,
 ) -> DataFrame:
     """Concat-and-chunk sequence-packing plan for LM pretraining: documents
     are concatenated in deterministic (group, doc_id) order and split into
     fixed-``capacity`` token windows. Per doc: the window its first token
     lands in, the offset inside that window, and how many windows it spans.
 
-    One window-cumsum per group partition — the shuffle is on ``group_col``
-    (bounded, user-chosen; e.g. source shard), never a global sort. Token
-    counts use the BPE-ish TOKEN_PATTERN, so the plan is exactly
-    reproducible in SQL.
+    Scale design — TWO-PASS cumsum, no per-group serialization: a naive
+    ``Window.partitionBy(group)`` running sum puts an entire source through
+    ONE window partition (a 100 TB corpus with ~10 sources would serialize
+    10^10 rows through ~10 partitions). Instead each group is sharded by
+    ``doc_id div shard_size`` (monotone in doc_id, so (group, shard, doc_id)
+    order == (group, doc_id) order):
+
+    1. local pass — running sum WITHIN each (group, shard) window, every
+       partition bounded by ``shard_size`` doc_ids;
+    2. offset pass — per-shard token totals (map-side-combined groupBy, one
+       row per shard) get their own tiny running sum per group, then
+       broadcast-join back: ``cum_before = shard_offset + local_cum``.
+
+    Integer sums decompose exactly, so the output is bit-identical to the
+    single-window form (and to the SQL oracle). Token counts use the
+    BPE-ish TOKEN_PATTERN, so the plan is exactly reproducible in SQL.
     """
     from pyspark.sql import Window
 
-    w = (
-        Window.partitionBy(group_col)
+    n_tok = token_count(F.col(text_col))
+    t = docs.select(
+        "doc_id", group_col, n_tok.alias("n_tokens")
+    ).withColumn("_shard", F.floor(F.col("doc_id") / F.lit(int(shard_size))))
+    w_local = (
+        Window.partitionBy(group_col, "_shard")
         .orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    n_tok = token_count(F.col(text_col))
-    cum_before = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    local_cum = F.coalesce(F.sum("n_tokens").over(w_local), F.lit(0))
+    # per-shard totals: ~rows/shard_size rows total — tiny, broadcastable
+    totals = t.groupBy(group_col, "_shard").agg(
+        F.sum("n_tokens").alias("_shard_tot")
+    )
+    w_shard = (
+        Window.partitionBy(group_col)
+        .orderBy("_shard")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.select(
+        group_col,
+        "_shard",
+        F.coalesce(F.sum("_shard_tot").over(w_shard), F.lit(0)).alias("_shard_off"),
+    )
     return (
-        docs.select("doc_id", group_col, n_tok.alias("n_tokens"))
-        .withColumn("cum_before", cum_before)
+        t.withColumn("_local_cum", local_cum)
+        .join(F.broadcast(offsets), [group_col, "_shard"])
+        .withColumn("cum_before", F.col("_shard_off") + F.col("_local_cum"))
         .select(
             "doc_id",
             group_col,

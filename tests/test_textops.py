@@ -176,6 +176,43 @@ def test_pack_plan_invariants(spark):
     assert all(r["offset"] < 8 for r in out.values())
 
 
+def test_pack_plan_sharded_matches_single_window(spark):
+    """The two-pass sharded cumsum must be bit-identical to a one-shard run
+    (shard_size larger than every doc_id) — shard boundaries mid-group, a
+    group entirely inside one shard, and sparse doc_ids all covered."""
+    import pandas as pd
+
+    rows = pd.DataFrame(
+        {
+            # sparse, shard boundary (size 4) splits group a at doc_id 4, 8
+            "doc_id": [0, 1, 3, 4, 6, 9, 11, 100, 101],
+            "source": ["a", "a", "a", "a", "a", "a", "b", "b", "a"],
+            "text": [f"w " * (3 + i) for i in range(9)],
+        }
+    )
+    docs = spark.createDataFrame(rows, schema="doc_id long, source string, text string")
+    one = sorted(map(tuple, T.pack_plan(docs, capacity=7, shard_size=1 << 20).collect()))
+    sharded = sorted(map(tuple, T.pack_plan(docs, capacity=7, shard_size=4).collect()))
+    assert one == sharded
+    # scale invariant: no window over a bare group partition — every Window
+    # in the plan carries the _shard key except the tiny per-shard offset
+    # pass, which windows over the AGGREGATED one-row-per-shard table.
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        T.pack_plan(docs, capacity=7, shard_size=4).explain()
+    plan = buf.getvalue()
+    data_windows = [
+        ln for ln in plan.splitlines()
+        if "Window [" in ln
+        and "_shard" not in ln.split("], [")[1]  # partition spec
+        and "_shard_tot" not in ln  # the tiny per-shard offset window
+    ]
+    assert not data_windows, f"unsharded data window in plan: {data_windows}"
+
+
 def test_content_flags(spark):
     import pandas as pd
 
