@@ -259,6 +259,24 @@ def _q_cache_revalidate(spark: SparkSession, sf_dir: str) -> DataFrame:
     c_lm = F.when(
         eid % 5 != 0, F.concat(F.lit("lm"), (eid % 7).cast("string"))
     )
+    # directive/Vary subset (C9): Cache-Control synthesized per row —
+    # no-store bypass, per-row max-age override (short → forced validation,
+    # long → fresh despite global staleness), no-cache, and a Vary: accept
+    # selecting-header that mismatches for odd ids.
+    cc = (
+        F.when(eid % 13 == 0, F.lit("no-store"))
+        .when(eid % 17 == 0, F.lit("max-age=60"))
+        .when(eid % 19 == 0, F.lit("max-age=999999999"))
+        .when(eid % 29 == 0, F.lit("no-cache"))
+    )
+    vary = F.when(eid % 23 == 0, F.lit("accept"))
+    req_h = F.create_map(F.lit("accept"), F.lit("text/html"))
+    resp_h = F.create_map(
+        F.lit("accept"),
+        F.when(eid % 2 == 0, F.lit("text/html")).otherwise(
+            F.lit("application/json")
+        ),
+    )
     cached = ev.select(
         eid.cast("string").alias("url"),
         F.col("ts").alias("warc_ts"),
@@ -266,6 +284,10 @@ def _q_cache_revalidate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(200).alias("status"),
         c_etag.alias("etag"),
         c_lm.alias("last_modified"),
+        cc.alias("cc"),
+        vary.alias("vary"),
+        req_h.alias("req_h"),
+        resp_h.alias("resp_h"),
     )
     origin = ev.filter(eid % 6 != 1).select(
         eid.cast("string").alias("url"),
@@ -279,7 +301,11 @@ def _q_cache_revalidate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "last_modified"
         ),
     )
-    out = revalidate(cached, origin, F.lit(now), max_age_seconds=7200)
+    out = revalidate(
+        cached, origin, F.lit(now), max_age_seconds=7200,
+        cc_col="cc", vary_col="vary",
+        req_headers_col="req_h", resp_headers_col="resp_h",
+    )
     return out.groupBy("decision").agg(
         F.count("*").alias("n"), F.sum("event_id").alias("id_sum")
     )
@@ -825,7 +851,14 @@ def oracle_sql() -> dict[str, str]:
                 CASE WHEN event_id % 4 <> 0
                      THEN 'e' || (event_id % 10)::VARCHAR END AS etag,
                 CASE WHEN event_id % 5 <> 0
-                     THEN 'lm' || (event_id % 7)::VARCHAR END AS lm
+                     THEN 'lm' || (event_id % 7)::VARCHAR END AS lm,
+                CASE WHEN event_id % 13 = 0 THEN 'no-store'
+                     WHEN event_id % 17 = 0 THEN 'max-age=60'
+                     WHEN event_id % 19 = 0 THEN 'max-age=999999999'
+                     WHEN event_id % 29 = 0 THEN 'no-cache' END AS cc,
+                -- Vary: accept set for %23 rows; stored response header
+                -- mismatches the request for odd ids
+                (event_id % 23 = 0 AND event_id % 2 = 1) AS vary_mismatch
               FROM events),
             origin AS (
               SELECT event_id::VARCHAR AS url,
@@ -843,8 +876,14 @@ def oracle_sql() -> dict[str, str]:
             dec AS (
               SELECT c.event_id,
                 CASE
+                  WHEN c.cc = 'no-store' THEN 'no_store'
                   WHEN c.warc_ts >= (SELECT max(ts) FROM events)
-                                    - INTERVAL 7200 SECONDS THEN 'fresh'
+                         - INTERVAL 1 SECOND * (CASE
+                             WHEN c.cc = 'max-age=60' THEN 60
+                             WHEN c.cc = 'max-age=999999999' THEN 999999999
+                             ELSE 7200 END)
+                       AND coalesce(c.cc, '') <> 'no-cache'
+                       AND NOT c.vary_mismatch THEN 'fresh'
                   WHEN o.status IS NULL THEN 'miss'
                   WHEN o.status >= 500 AND o.status < 600 THEN 'error'
                   WHEN o.status <> 200 THEN 'miss'

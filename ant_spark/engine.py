@@ -141,6 +141,21 @@ class CrawlConfig:
     # bucketed_switch_rows — small crawls never pay the staging overhead,
     # wide frontiers get the Exchange-free anti-join without opting in.
     state_backend: str = "auto"  # auto | parquet | bucketed
+    # Pages-side storage bucketing for the FETCH join (the engine's biggest
+    # join: frontier ⋈ pages on url, html-heavy). Default (None): AQE
+    # broadcasts the small frontier side and the page corpus streams in
+    # place. At 100 TB neither side broadcasts and a plain equi-join would
+    # SHUFFLE THE HTML — the round's dominant cost. Set ``pages_table`` to
+    # the name of a session table CLUSTERED BY (url) (Iceberg
+    # bucket(N, url) analogue; see Engine.create_pages_table): each round
+    # the admitted frontier is staged into a table bucketed the same way
+    # (a shuffle-free write of the tiny side), and the fetch join becomes a
+    # storage-partitioned sort-merge join with ZERO Exchanges — the pages
+    # scan is read in place (tools/bucketed_fetch_ab.py is the measured
+    # A/B + plan proof). ``fetch_buckets`` must match the table's bucket
+    # count.
+    pages_table: str | None = None
+    fetch_buckets: int = 32
     # 'auto' migration threshold: the bucketed mode pays ~1.5s/round of
     # candidate-staging overhead to delete the seen-side Exchange, so it
     # should engage once that Exchange is the bigger cost. Local A/B puts
@@ -203,7 +218,13 @@ class Engine:
     ):
         self.spark = spark
         self.cfg = cfg or CrawlConfig()
-        self.pages = pages_df
+        if self.cfg.pages_table is not None:
+            # bucketed fetch mode: the page corpus is a url-bucketed session
+            # table (create_pages_table); bucketing metadata only survives a
+            # spark.table() read, never a raw parquet path read.
+            self.pages = spark.table(self.cfg.pages_table)
+        else:
+            self.pages = pages_df
         if robots_df is None:
             robots_df = spark.createDataFrame([], schemas.ROBOTS)
         self.robots = robots_df
@@ -221,6 +242,31 @@ class Engine:
             )
         else:
             self._bloom = None
+
+    @staticmethod
+    def create_pages_table(
+        spark: SparkSession,
+        pages_df: DataFrame,
+        name: str,
+        path: str,
+        buckets: int = 32,
+    ) -> DataFrame:
+        """Write the page corpus as a url-bucketed external table — the
+        plain-Spark stand-in for an Iceberg ``bucket(N, url)`` table (same
+        idiom as the seen/links staging tables). One-time cost; every fetch
+        join afterwards reads the html-bearing side in place with no
+        Exchange. Pass the table name as ``CrawlConfig.pages_table`` with
+        ``fetch_buckets=buckets``."""
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        (
+            pages_df.write.mode("overwrite")
+            .format("parquet")
+            .bucketBy(buckets, "url")
+            .sortBy("url")
+            .option("path", path)
+            .saveAsTable(name)
+        )
+        return spark.table(name)
 
     def _robots_is_empty(self) -> bool:
         if self._robots_empty is None:
@@ -434,10 +480,12 @@ class Engine:
             # frontier_count with it, ending the crawl after one round)
             raise ValueError(f"unknown metrics_mode {cfg.metrics_mode!r}")
         self._bucketed = cfg.state_backend == "bucketed"
-        if cfg.state_backend != "parquet":
+        if cfg.state_backend != "parquet" or cfg.pages_table is not None:
             import hashlib
 
             dig = hashlib.md5(root.encode()).hexdigest()[:10]
+            self._adm_tbl = f"ant_adm_{dig}"
+        if cfg.state_backend != "parquet":
             self._seen_tbl = f"ant_seen_{dig}"
             self._links_tbl = f"ant_links_{dig}"
             self._seen_tbl_path = os.path.join(root, "seen_tbl_r00000")
@@ -466,6 +514,8 @@ class Engine:
                 for name in os.listdir(root):
                     if name.startswith("seen_tbl"):
                         shutil.rmtree(os.path.join(root, name), ignore_errors=True)
+            if cfg.pages_table is not None:
+                spark.sql(f"DROP TABLE IF EXISTS {self._adm_tbl}")
 
         pages_src = self.pages
         if cfg.max_age_seconds is not None and cfg.crawl_ts is not None:
@@ -484,11 +534,13 @@ class Engine:
             "ok_after_attempt",
         )
         # NOTE on the fetch join's pages side: no engine-side repartition or
-        # cache — measured slower here. With AQE the (small) frontier side is
-        # broadcast, so the html-heavy page corpus is streamed in place and
-        # never exchanged; at cluster scale where neither side broadcasts,
-        # the pages table is an Iceberg table bucketed by url on storage and
-        # the join stays storage-partitioned without engine help.
+        # cache — measured slower here. Default mode: AQE broadcasts the
+        # (small) frontier side, so the html-heavy page corpus is streamed
+        # in place and never exchanged. Cluster-scale mode
+        # (cfg.pages_table): the corpus is a url-bucketed table and each
+        # round's admitted frontier is staged into the same bucketing, so
+        # the join is a storage-partitioned SMJ with ZERO Exchanges even
+        # when neither side broadcasts (tools/bucketed_fetch_ab.py).
 
         start = self.latest_round(root) if resume else None
         if start is not None:
@@ -715,10 +767,43 @@ class Engine:
                         admitted, int(cfg.global_rate * cfg.round_seconds), order_cols
                     )
                     deferred = deferred.unionByName(deferred2.select(*frontier.columns))
-            admitted = admitted.persist()
+            if cfg.pages_table is not None:
+                # stage the admitted frontier into a table bucketed like the
+                # pages corpus (a SHUFFLE-FREE write — bucketed writers sort
+                # by bucket id within each task; only the tiny frontier side
+                # is written). The staged read doubles as the round's
+                # materialization, so no .persist() needed.
+                staged_path = os.path.join(
+                    self._round_dir(root, r + 1), "admitted_staged"
+                )
+                spark.sql(f"DROP TABLE IF EXISTS {self._adm_tbl}")
+                (
+                    admitted.write.mode("overwrite")
+                    .format("parquet")
+                    .bucketBy(cfg.fetch_buckets, "url")
+                    .sortBy("url")
+                    .option("path", staged_path)
+                    .saveAsTable(self._adm_tbl)
+                )
+                admitted = spark.table(self._adm_tbl)
+            else:
+                admitted = admitted.persist()
 
             # fetch = left equi-join against the page universe ------------
             fetched = admitted.join(pages, admitted["url"] == pages["_p_url"], "left")
+            if os.environ.get("ANT_SPARK_EXPLAIN_FETCH") == "1":
+                import io
+                from contextlib import redirect_stdout
+
+                buf = io.StringIO()
+                with redirect_stdout(buf):
+                    fetched.explain("formatted")
+                plan = buf.getvalue()
+                print(
+                    f"[fetch-plan round={r} bucketed={cfg.pages_table is not None}] "
+                    f"Exchanges={plan.count('Exchange') // 2}\n{plan}",
+                    flush=True,
+                )
             # temporary statuses (fetcher.go:63-69) recover once attempt
             # reaches ok_after_attempt; other ≥400 statuses are permanent.
             status_eff = (
@@ -1149,7 +1234,7 @@ class Engine:
                         continue
                     for state in (
                         "frontier", "seen_delta", "seen_base", "bloom",
-                        "links_staged",
+                        "links_staged", "admitted_staged",
                     ):
                         p = os.path.join(root, name, state)
                         if p not in live and os.path.isdir(p):

@@ -13,9 +13,13 @@ operators give the two cache behaviors that survive the translation
   over stale ones by url, latest ``warc_ts`` wins — plain parquet stand-in
   for an Iceberg MERGE.
 
-RFC 7234 header plumbing (Vary, directives — ``antcache/rfc7234.go``) is
-intentionally collapsed to the warc_ts age predicate; per-response cache
-directives don't survive into a WARC-style corpus.
+RFC 7234 header plumbing: validator revalidation (ETag/Last-Modified) plus
+a directive/Vary subset — ``Cache-Control: no-store`` bypass, per-response
+``max-age=N`` freshness override, and Vary header-field matching
+(``antcache/directives.go:14-48``, ``utils.go:38-64``) — all as native
+column expressions over optional header columns. WARC-style corpora often
+carry no headers; every directive input is optional and absent columns
+reproduce the plain age-predicate behavior.
 """
 
 from __future__ import annotations
@@ -41,6 +45,55 @@ def fresh_only(
     """
     cutoff = as_of_ts - _age_interval(max_age_seconds)
     return pages.filter(F.col("warc_ts") >= cutoff)
+
+
+def cc_tokens(cc: Column) -> Column:
+    """Cache-Control split into trimmed, lowercased, non-empty tokens
+    (reference ``split`` — antcache/utils.go:96-105)."""
+    toks = F.transform(
+        F.split(F.coalesce(cc, F.lit("")), ","), lambda v: F.trim(F.lower(v))
+    )
+    return F.filter(toks, lambda v: v != "")
+
+
+def cc_has(cc: Column, name: str) -> Column:
+    """True iff the bare directive ``name`` is present (``directives.has``,
+    antcache/directives.go:35-38; e.g. no-store/no-cache)."""
+    return F.exists(cc_tokens(cc), lambda v: v == F.lit(name))
+
+
+def cc_duration_seconds(cc: Column, name: str) -> Column:
+    """Seconds from a ``name=N`` directive, NULL when absent/unparseable
+    (``directives.duration``, antcache/directives.go:40-49)."""
+    hits = F.filter(
+        cc_tokens(cc), lambda v: v.startswith(F.lit(name + "="))
+    )
+    first = F.when(F.size(hits) > 0, F.element_at(hits, 1))
+    val = F.regexp_extract(first, rf"^{name}=(-?\d+)$", 1)
+    return F.when(val != "", val.cast("long"))
+
+
+def vary_matches(
+    vary: Column, req_headers: Column, resp_headers: Column
+) -> Column:
+    """RFC 7234 §4.1 selecting-header match (``matches``,
+    antcache/utils.go:38-52): every header field named by ``vary`` must
+    carry the same value in the presented request headers as in the stored
+    response headers. Header maps use lowercased keys; an absent field
+    compares as '' on both sides (Go's Header.Get zero value). NULL/empty
+    vary matches trivially."""
+    keys = F.filter(
+        F.transform(
+            F.split(F.coalesce(vary, F.lit("")), ","),
+            lambda v: F.trim(F.lower(v)),
+        ),
+        lambda v: v != "",
+    )
+    return F.forall(
+        keys,
+        lambda k: F.coalesce(F.element_at(req_headers, k), F.lit(""))
+        == F.coalesce(F.element_at(resp_headers, k), F.lit("")),
+    )
 
 
 def merge_fetched(existing: DataFrame, refetched: DataFrame) -> DataFrame:
@@ -69,6 +122,10 @@ def revalidate(
     as_of_ts: Column,
     max_age_seconds: float,
     stale_if_error: bool = False,
+    cc_col: str | None = None,
+    vary_col: str | None = None,
+    req_headers_col: str | None = None,
+    resp_headers_col: str | None = None,
 ) -> DataFrame:
     """RFC 7234 §4.3 verification as ONE batch left-join — the reference's
     per-request ``Cache.verify`` (antcache/httpcache.go:214-271) re-expressed
@@ -93,11 +150,43 @@ def revalidate(
     - any other origin status                → ``miss`` (not storable;
       verification failed — httpcache.go:264-270)
 
+    Directive/Vary subset (all OPTIONAL; absent columns keep the plain
+    age-predicate behavior):
+
+    - ``cc_col`` (stored response Cache-Control string):
+      ``no-store`` → ``no_store`` (never storable — rfc7234.go:57-59 would
+      have rejected it at store time; the batch analogue bypasses the row);
+      ``max-age=N`` overrides ``max_age_seconds`` as that row's freshness
+      lifetime (rfc7234.go:112-114); ``no-cache`` skips the fresh branch —
+      the row must be validated (rfc7234.go:100-102).
+    - ``vary_col`` + ``req_headers_col``/``resp_headers_col``
+      (map<string,string>, lowercased keys): RFC 7234 §4.1 selecting-header
+      match; a mismatch skips the fresh branch (utils.go:38-52 →
+      rfc7234.go:84-86 transparent).
+
     Stays a single native join + CASE expression: Catalyst broadcast-joins
     a small origin probe, or sort-merge-joins two url-bucketed tables
     shuffle-free at corpus scale.
     """
-    cutoff = as_of_ts - _age_interval(max_age_seconds)
+    if cc_col is not None:
+        cc = F.col(cc_col)
+        no_store = cc_has(cc, "no-store")
+        no_cache = cc_has(cc, "no-cache")
+        lifetime = F.coalesce(
+            cc_duration_seconds(cc, "max-age").cast("double"),
+            F.lit(float(max_age_seconds)),
+        )
+        cutoff = as_of_ts - F.make_dt_interval(secs=lifetime)
+    else:
+        no_store = F.lit(False)
+        no_cache = F.lit(False)
+        cutoff = as_of_ts - _age_interval(max_age_seconds)
+    if vary_col is not None and req_headers_col and resp_headers_col:
+        vary_ok = vary_matches(
+            F.col(vary_col), F.col(req_headers_col), F.col(resp_headers_col)
+        )
+    else:
+        vary_ok = F.lit(True)
     o = origin.select(
         "url",
         F.col("warc_ts").alias("_o_ts"),
@@ -119,7 +208,8 @@ def revalidate(
         & (F.col("last_modified") == F.col("_o_lm"))
     )
     decision = (
-        F.when(is_fresh, F.lit("fresh"))
+        F.when(no_store, F.lit("no_store"))
+        .when(is_fresh & ~no_cache & vary_ok, F.lit("fresh"))
         .when(origin_missing, F.lit("miss"))
         .when(
             origin_5xx,

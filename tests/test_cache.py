@@ -98,6 +98,83 @@ def test_revalidate_stale_if_error(spark):
     assert out["serve_warc_ts"] == BASE.replace(tzinfo=None)
 
 
+def test_cc_directive_parsing(spark):
+    from ant_spark.operators.cache import cc_duration_seconds, cc_has
+
+    df = spark.createDataFrame(
+        [
+            (0, "no-store"),
+            (1, " Max-Age=60 , no-cache"),
+            (2, "max-age=abc"),
+            (3, None),
+            (4, "public, max-age=-5"),
+        ],
+        "i long, cc string",
+    )
+    out = {
+        r["i"]: r
+        for r in df.select(
+            "i",
+            cc_has(F.col("cc"), "no-store").alias("ns"),
+            cc_has(F.col("cc"), "no-cache").alias("nc"),
+            cc_duration_seconds(F.col("cc"), "max-age").alias("ma"),
+        ).collect()
+    }
+    assert out[0]["ns"] and not out[0]["nc"] and out[0]["ma"] is None
+    assert not out[1]["ns"] and out[1]["nc"] and out[1]["ma"] == 60
+    assert out[2]["ma"] is None  # unparseable → duration not ok
+    assert not out[3]["ns"] and out[3]["ma"] is None
+    assert out[4]["ma"] == -5  # ParseInt accepts sign (directives.go:46)
+
+
+def test_revalidate_directives_and_vary(spark):
+    """C9 directive/Vary subset: no-store bypass, per-row max-age override,
+    no-cache forced validation, Vary selecting-header mismatch."""
+    from ant_spark.operators.cache import revalidate
+
+    mid = NOW - dt.timedelta(minutes=30)  # fresh under 1h, stale under 60s
+
+    def hdr(v):
+        return {"accept": v}
+
+    rows = [
+        # url, ts, status, etag, lm, cc, vary, req_h, resp_h
+        ("u/nostore", mid, 200, "e1", None, "no-store", None, hdr("a"), hdr("a")),
+        ("u/maxage-short", mid, 200, "e1", None, "max-age=60", None, hdr("a"), hdr("a")),
+        ("u/maxage-long", BASE, 200, "e1", None, "max-age=999999", None, hdr("a"), hdr("a")),
+        ("u/nocache", mid, 200, "e1", None, "no-cache", None, hdr("a"), hdr("a")),
+        ("u/vary-miss", mid, 200, "e1", None, None, "Accept", hdr("a"), hdr("b")),
+        ("u/vary-hit", mid, 200, "e1", None, None, "Accept", hdr("a"), hdr("a")),
+    ]
+    cached = spark.createDataFrame(
+        pd.DataFrame(rows, columns=[
+            "url", "warc_ts", "status", "etag", "last_modified", "cc",
+            "vary", "req_h", "resp_h",
+        ]),
+        schema="url string, warc_ts timestamp, status int, etag string, "
+               "last_modified string, cc string, vary string, "
+               "req_h map<string,string>, resp_h map<string,string>",
+    )
+    origin = _df(spark, [
+        ("u/nostore", NOW, 200, "e1", None),
+        ("u/maxage-short", NOW, 200, "e1", None),
+        ("u/nocache", NOW, 200, "e2", None),
+        ("u/vary-miss", NOW, 200, "e1", None),
+    ])
+    out = revalidate(
+        cached, origin, F.lit(NOW), max_age_seconds=3600,
+        cc_col="cc", vary_col="vary",
+        req_headers_col="req_h", resp_headers_col="resp_h",
+    )
+    d = {r["url"]: r["decision"] for r in out.collect()}
+    assert d["u/nostore"] == "no_store"  # bypassed even though validators match
+    assert d["u/maxage-short"] == "revalidated"  # 30min > 60s → validate
+    assert d["u/maxage-long"] == "fresh"  # 10h stale globally, fresh per-row
+    assert d["u/nocache"] == "replaced"  # forced validation, etag changed
+    assert d["u/vary-miss"] == "revalidated"  # fresh skipped on Vary mismatch
+    assert d["u/vary-hit"] == "fresh"
+
+
 def test_revalidate_random_vs_reference(spark):
     """400 random (cached, origin) rows vs a pure-Python reference of the
     documented decision chain — covers every combination of freshness,

@@ -204,6 +204,27 @@ def test_bucketed_state_backend_golden_and_resume(spark, tmp_path):
     assert sorted(set(urls)) == sorted(urls)  # exactly-once across resume
 
 
+def test_bucketed_pages_fetch_golden(spark, tmp_path, example):
+    """cfg.pages_table: the fetch join reads a url-bucketed page corpus
+    with the admitted frontier staged into the same bucketing — plan is a
+    0-Exchange storage-partitioned SMJ (tools/bucketed_fetch_ab.py is the
+    measured A/B); semantics must match the plain join exactly, including
+    BFS seq parity and resume."""
+    pages, robots, seeds, pages_pdf = example
+    Engine.create_pages_table(
+        spark, pages, "t_pages_bkt", str(tmp_path / "pages_tbl"), buckets=4
+    )
+    cfg = CrawlConfig(
+        max_rounds=10, ordering="bfs", pages_table="t_pages_bkt",
+        fetch_buckets=4, checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    res = Engine(spark, None, robots, cfg).run(seeds)
+    rows = res.fetched_log.orderBy("seq").collect()
+    visited = [r["url"].replace("http://example.com", "") or "/" for r in rows]
+    assert visited == ["/", "/about.html", "/products.html", "/a.html", "/b.html"]
+    assert [r["seq"] for r in rows] == [0, 1, 2, 4, 5]
+
+
 def test_auto_backend_switch_midcrawl(spark, tmp_path):
     """state_backend='auto' (default): starts on parquet deltas, migrates
     the seen set into the bucketed table once total enqueued crosses the

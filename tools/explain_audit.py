@@ -145,6 +145,47 @@ def main() -> None:
           f"({round_plans.count('[round-plan')} round plans audited)")
     results.append(ok5)
 
+    # 6. bucketed fetch mode: the html-bearing pages scan must never be
+    # exchanged — with broadcast disabled (the 100 TB shape where neither
+    # side broadcasts) the fetch join must be a storage-partitioned SMJ
+    # over two bucketed scans with ZERO Exchange nodes.
+    import re
+    import tempfile as _tf
+
+    old_thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    old_athr = spark.conf.get("spark.sql.adaptive.autoBroadcastJoinThreshold", None)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    os.environ["ANT_SPARK_EXPLAIN_FETCH"] = "1"
+    try:
+        tbl_dir = _tf.mkdtemp(prefix="audit_pages_tbl_")
+        Engine.create_pages_table(
+            spark, pe, "audit_pages_bkt", os.path.join(tbl_dir, "t"), buckets=4
+        )
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            Engine(
+                spark, None, rbe,
+                CrawlConfig(max_rounds=3, pages_table="audit_pages_bkt",
+                            fetch_buckets=4),
+            ).run(seeds)
+        fetch_out = buf.getvalue()
+    finally:
+        os.environ.pop("ANT_SPARK_EXPLAIN_FETCH")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thr)
+        if old_athr is not None:
+            spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", old_athr)
+    n_ex = [int(m) for m in re.findall(r"Exchanges=(\d+)", fetch_out)]
+    ok6 = (
+        bool(n_ex)
+        and all(x == 0 for x in n_ex)
+        and "SortMergeJoin" in fetch_out
+        and "Bucketed: true" in fetch_out
+    )
+    print(f"{'PASS' if ok6 else 'FAIL'}  bucketed_fetch_no_exchange "
+          f"(fetch-join Exchanges per round: {n_ex}, SMJ over bucketed scans)")
+    results.append(ok6)
+
     print(f"\n{'ALL PASS' if all(results) else 'AUDIT FAILURES'}")
     sys.exit(0 if all(results) else 1)
 
