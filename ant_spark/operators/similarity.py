@@ -144,6 +144,58 @@ def lsh_topk(
     )
 
 
+def lsh_topk_tables(
+    queries: DataFrame,
+    corpus: DataFrame,
+    tables: list[list[list[float]]],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Multi-table (OR-composed) LSH ANN: the standard recall lever — a
+    candidate passes if it shares a bucket with the query in ANY of the
+    ``tables`` independent plane sets, then exact cosine re-ranks the union
+    (Indyk/Motwani LSH; recall grows as 1-(1-p^h)^T while the candidate set
+    stays ~T·N/2^h). Each table's join shuffles only on its own bucket key;
+    the candidate union is distinct-ed on (query_id, neighbor_id) BEFORE
+    the cosine re-rank so duplicates don't pay the dot product.
+
+    Recall/latency trade-off measured in tools/ann_recall.py (BENCH.md)."""
+    cand = None
+    for t, planes in enumerate(tables):
+        q = queries.select(
+            F.col(id_col).alias("query_id"),
+            lsh_signature(F.col(vec_col), planes).alias("bucket"),
+        )
+        c = corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            lsh_signature(F.col(vec_col), planes).alias("bucket"),
+        )
+        p = q.join(c, "bucket").select("query_id", "neighbor_id")
+        cand = p if cand is None else cand.unionByName(p)
+    cand = cand.filter(F.col("query_id") != F.col("neighbor_id")).distinct()
+    qv = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"))
+    cv = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"))
+    scored = (
+        cand.join(qv, "query_id")
+        .join(cv, "neighbor_id")
+        .withColumn("_sim", cosine(F.col("_qv"), F.col("_cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "rank",
+            F.round(F.col("_sim"), 4).alias("cos_sim"),
+        )
+    )
+
+
 def cosine_near_dup_pairs(
     corpus: DataFrame,
     planes: list[list[float]],

@@ -26,7 +26,14 @@ QUEUE_POLICIES = ["fifo", "priority"]
 
 
 @pytest.fixture(scope="module")
-def contract_world(spark):
+def contract_results(spark):
+    """Run ALL 10 matrix crawls CONCURRENTLY in one Spark session (separate
+    driver threads; the scheduler interleaves their stages — engine rounds
+    are scheduling-bound, not CPU-bound, at this graph size). Serially the
+    matrix dominated the whole test suite's wall-clock (~5 min); concurrent
+    it finishes in roughly the time of the slowest crawl."""
+    from concurrent.futures import ThreadPoolExecutor
+
     cfg = GraphConfig(n_pages=60, n_hosts=2, crawl_delay_hosts=0,
                       robots_disallow_hosts=1, flaky_every=0)
     pages_pdf, robots_pdf, seeds = generate(cfg)
@@ -34,26 +41,35 @@ def contract_world(spark):
     robots = spark.createDataFrame(robots_pdf, schema=schemas.ROBOTS)
     pages.count()
     public = {u for u in pages_pdf.url if "/private/" not in u}
-    return pages, robots, seeds, public
+
+    def crawl(combo):
+        dedupe, queue_policy = combo
+        res = Engine(
+            spark, pages, robots,
+            CrawlConfig(
+                max_rounds=40,
+                dedupe=dedupe,
+                queue_policy=queue_policy,
+                # a binding global budget so the two queue policies actually
+                # dequeue in different orders (priority vs fifo under
+                # deferral)
+                global_rate=25,
+                bloom_bits=1 << 18,
+            ),
+        ).run(seeds)
+        return combo, res.fetched_log.collect()
+
+    combos = [(d, q) for d in DEDUPE_MODES for q in QUEUE_POLICIES]
+    with ThreadPoolExecutor(max_workers=5) as pool:
+        results = dict(pool.map(crawl, combos))
+    return results, public
 
 
 @pytest.mark.parametrize("queue_policy", QUEUE_POLICIES)
 @pytest.mark.parametrize("dedupe", DEDUPE_MODES)
-def test_dedupe_queue_contract(spark, contract_world, dedupe, queue_policy):
-    pages, robots, seeds, public = contract_world
-    res = Engine(
-        spark, pages, robots,
-        CrawlConfig(
-            max_rounds=40,
-            dedupe=dedupe,
-            queue_policy=queue_policy,
-            # a binding global budget so the two queue policies actually
-            # dequeue in different orders (priority vs fifo under deferral)
-            global_rate=25,
-            bloom_bits=1 << 18,
-        ),
-    ).run(seeds)
-    log = res.fetched_log.collect()
+def test_dedupe_queue_contract(spark, contract_results, dedupe, queue_policy):
+    results, public = contract_results
+    log = results[(dedupe, queue_policy)]
     urls = [r["url"] for r in log]
     assert sorted(set(urls)) == sorted(urls), "URL fetched twice"
     assert all("/private/" not in u for u in urls), "robots deny violated"
