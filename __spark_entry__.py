@@ -27,6 +27,11 @@ from ant_spark.operators.similarity import make_hyperplanes
 _DIM = 64  # embeddings.parquet vector dim (verified in tests)
 _PLANES = make_hyperplanes(dim=_DIM, n_planes=6, seed=42)
 _CENTROIDS = make_hyperplanes(dim=_DIM, n_planes=4, seed=7)
+# two OR-composed LSH tables (multi-table recall lever; tools/ann_recall.py)
+_TABLES = [
+    make_hyperplanes(dim=_DIM, n_planes=4, seed=42),
+    make_hyperplanes(dim=_DIM, n_planes=4, seed=1042),
+]
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -521,6 +526,16 @@ def _q_emb_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_lsh_topk_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-table OR-composed LSH ANN top-k (the recall lever): candidates
+    from EITHER table's bucket, distinct-ed, exact-cosine re-ranked."""
+    from ant_spark.operators.similarity import lsh_topk_tables
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    return lsh_topk_tables(queries, emb, _TABLES, k=3)
+
+
 def _q_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ant_spark.operators.similarity import ivf_assign
 
@@ -617,6 +632,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_cosine_topk": _q_cosine_topk,
         "emb_lsh_bucket": _q_lsh_bucket,
         "emb_near_dup": _q_emb_near_dup,
+        "emb_lsh_topk_tables": _q_lsh_topk_tables,
         "emb_ivf_assign": _q_ivf_assign,
         "media_frame_plan": _q_media_frame_plan,
         # non-SQL (rows-only)
@@ -723,6 +739,14 @@ def oracle_sql() -> dict[str, str]:
         f"(CASE WHEN {_dot_sql('embedding', p)} >= 0 THEN 1 ELSE 0 END)::BIGINT * {1 << i}"
         for i, p in enumerate(planes_sql)
     )
+    tbl_bucket_exprs = [
+        " + ".join(
+            f"(CASE WHEN {_dot_sql('embedding', _vec_sql(p))} >= 0 "
+            f"THEN 1 ELSE 0 END)::BIGINT * {1 << i}"
+            for i, p in enumerate(tbl)
+        )
+        for tbl in _TABLES
+    ]
     # IVF: argmax cosine over 4 centroid literals with first-wins ties (the
     # Spark loop keeps the earlier cell on ties via strict '>').
     cos_cents = [_cos_sql("embedding", c) for c in cents_sql]
@@ -1112,6 +1136,36 @@ def oracle_sql() -> dict[str, str]:
             FROM buckets a JOIN buckets b USING (bucket)
             WHERE a.vec_id < b.vec_id
               AND {_cos_sql('a.embedding', 'b.embedding')} >= 0.35
+        """,
+        "emb_lsh_topk_tables": f"""
+            WITH t1 AS (
+              SELECT vec_id, embedding, ({tbl_bucket_exprs[0]})::BIGINT AS bucket
+              FROM embeddings),
+            t2 AS (
+              SELECT vec_id, embedding, ({tbl_bucket_exprs[1]})::BIGINT AS bucket
+              FROM embeddings),
+            cand AS (
+              SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id
+              FROM t1 q JOIN t1 c USING (bucket)
+              WHERE q.vec_id < 8 AND q.vec_id <> c.vec_id
+              UNION
+              SELECT q.vec_id, c.vec_id
+              FROM t2 q JOIN t2 c USING (bucket)
+              WHERE q.vec_id < 8 AND q.vec_id <> c.vec_id),
+            scored AS (
+              SELECT cand.query_id, cand.neighbor_id,
+                     {_cos_sql('q.embedding', 'c.embedding')} AS sim
+              FROM cand
+              JOIN embeddings q ON cand.query_id = q.vec_id
+              JOIN embeddings c ON cand.neighbor_id = c.vec_id)
+            SELECT query_id, neighbor_id, rank, round(sim, 4) AS cos_sim
+            FROM (
+              SELECT query_id, neighbor_id, sim,
+                     row_number() OVER (
+                       PARTITION BY query_id
+                       ORDER BY sim DESC, neighbor_id) AS rank
+              FROM scored)
+            WHERE rank <= 3
         """,
         "emb_ivf_assign": f"""
             SELECT vec_id, ({cell_expr})::INT AS cell,

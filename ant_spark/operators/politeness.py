@@ -231,9 +231,14 @@ def rule_budget(
     # rows ranked past the cap were pruned from `ranked`; recover the full
     # deferred set by anti-joining the limited rows against the admitted
     # seqs (globally unique). The admitted side is ≤ n_rules × cap rows —
-    # driver-known tiny — so broadcast it: the big side never shuffles.
+    # driver-known — so broadcast it when that bound is small (the big side
+    # never shuffles); with huge configured budgets fall back to letting
+    # AQE pick the strategy rather than force a giant broadcast.
+    adm_seqs = admitted.select(F.col("seq").alias("_a_seq"))
+    if cap * len(rules) <= 4_000_000:
+        adm_seqs = F.broadcast(adm_seqs)
     deferred = limited.drop("_rule", "_rb").join(
-        F.broadcast(admitted.select(F.col("seq").alias("_a_seq"))),
+        adm_seqs,
         F.col("seq") == F.col("_a_seq"),
         "left_anti",
     )
@@ -250,8 +255,11 @@ def global_limit(frontier: DataFrame, n: int, order_cols: list[str] | None = Non
     """
     order_cols = order_cols or ["seq"]
     admitted = frontier.orderBy(*order_cols).limit(n)
+    adm_seqs = admitted.select(F.col("seq").alias("_a_seq"))
+    if n <= 4_000_000:  # ≤ n rows by construction — driver-known bound
+        adm_seqs = F.broadcast(adm_seqs)
     deferred = frontier.join(
-        admitted.select(F.col("seq").alias("_a_seq")),
+        adm_seqs,
         frontier["seq"] == F.col("_a_seq"),
         "left_anti",
     )

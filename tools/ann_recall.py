@@ -157,7 +157,7 @@ def main() -> None:
         g *= 0.18 * np.linalg.norm(v) / np.linalg.norm(g)
         planted.append((int(r["vec_id"]) + 1_000_000, [float(x) for x in (v + g)]))
     pl = spark.createDataFrame(planted, "vec_id long, embedding array<float>")
-    corpus2 = emb.unionByName(pl)
+    corpus2 = emb.select("vec_id", "embedding").unionByName(pl)
     pl_pairs = {(int(r["vec_id"]), int(r["vec_id"]) + 1_000_000) for r in base}
     mean_cos = float(np.mean([
         r["cos_sim"] for r in cosine_near_dup_pairs(
