@@ -717,7 +717,8 @@ class Engine:
             # fast path: with no rate limits and no crawl-delays anywhere,
             # every allowed row is admitted — skip the window + anti-join
             # (two shuffles saved per round in pure-throughput crawls).
-            if self._politeness_static_off():
+            pol_off = self._politeness_static_off()
+            if pol_off:
                 admitted = allowed.drop("crawl_delay")
                 deferred = spark.createDataFrame([], eligible.schema)
             else:
@@ -786,8 +787,11 @@ class Engine:
                     .saveAsTable(self._adm_tbl)
                 )
                 admitted = spark.table(self._adm_tbl)
-            else:
+            elif not pol_off:
                 admitted = admitted.persist()
+            # else: admitted is a cheap projection of the already-persisted
+            # rb cache — a second persist would just double-fill memory and
+            # add a cache pass per round.
 
             # fetch = left equi-join against the page universe ------------
             fetched = admitted.join(pages, admitted["url"] == pages["_p_url"], "left")
