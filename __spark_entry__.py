@@ -536,6 +536,17 @@ def _q_lsh_topk_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk_tables(queries, emb, _TABLES, k=3)
 
 
+def _q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN top-k: probe the 2 nearest of 4 coarse cells per query, exact
+    cosine re-rank inside the probed cells (the uncorrelated-data ANN scale
+    path; LSH is the near-dup tool — see BENCH.md recall tables)."""
+    from ant_spark.operators.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    return ivf_topk(queries, emb, _CENTROIDS, k=3, nprobe=2)
+
+
 def _q_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ant_spark.operators.similarity import ivf_assign
 
@@ -634,6 +645,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_near_dup": _q_emb_near_dup,
         "emb_lsh_topk_tables": _q_lsh_topk_tables,
         "emb_ivf_assign": _q_ivf_assign,
+        "emb_ivf_topk": _q_ivf_topk,
         "media_frame_plan": _q_media_frame_plan,
         # non-SQL (rows-only)
         "crawl_e2e_visited": _q_crawl_e2e,
@@ -1171,6 +1183,38 @@ def oracle_sql() -> dict[str, str]:
             SELECT vec_id, ({cell_expr})::INT AS cell,
                    round({best}, 4) AS cos_to_centroid
             FROM embeddings
+        """,
+        "emb_ivf_topk": f"""
+            WITH cents AS (
+              SELECT * FROM (VALUES
+                {', '.join(f'({i}, {c})' for i, c in enumerate(cents_sql))}
+              ) AS t(cell, cvec)),
+            probes AS (
+              SELECT query_id, cell FROM (
+                SELECT q.vec_id AS query_id, c.cell,
+                       row_number() OVER (
+                         PARTITION BY q.vec_id
+                         ORDER BY {_cos_sql('q.embedding', 'c.cvec')} DESC,
+                                  c.cell) AS crk
+                FROM embeddings q CROSS JOIN cents c
+                WHERE q.vec_id < 8) WHERE crk <= 2),
+            assigned AS (
+              SELECT vec_id AS neighbor_id, ({cell_expr})::INT AS cell
+              FROM embeddings),
+            scored AS (
+              SELECT p.query_id, a.neighbor_id,
+                     {_cos_sql('q.embedding', 'n.embedding')} AS sim
+              FROM probes p JOIN assigned a USING (cell)
+              JOIN embeddings q ON p.query_id = q.vec_id
+              JOIN embeddings n ON a.neighbor_id = n.vec_id
+              WHERE p.query_id <> a.neighbor_id)
+            SELECT query_id, neighbor_id, rank, round(sim, 4) AS cos_sim
+            FROM (
+              SELECT query_id, neighbor_id, sim,
+                     row_number() OVER (
+                       PARTITION BY query_id
+                       ORDER BY sim DESC, neighbor_id) AS rank
+              FROM scored) WHERE rank <= 3
         """,
         "media_frame_plan": """
             WITH media AS (

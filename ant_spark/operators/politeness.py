@@ -195,6 +195,8 @@ def rule_budget(
     from ant_spark.functions.urlnorm import hostpath_of
     from ant_spark.operators.matchers import glob_to_regex
 
+    if not rules:
+        return frontier, frontier.filter(F.lit(False))
     order_cols = order_cols or ["seq"]
     subject = hostpath_of(F.col("url"))
     rule_id = F.lit(-1)

@@ -13,6 +13,12 @@ Two paths, per the scale ladder:
   cross-joining, turning O(Q·N) into O(Q·N/2^h) expected.
 - **embedding-cosine near-dup**: all pairs above a cosine threshold within
   LSH buckets (the embedding analogue of minhash near-dup).
+- **multi-table LSH** (``lsh_topk_tables``): OR-composed plane sets — the
+  recall lever for near-dup search (measured in tools/ann_recall.py).
+- **IVF probe** (``ivf_assign`` + ``ivf_topk``): coarse cells + nprobe
+  nearest-cell search — the ANN tool for UNCORRELATED vectors, where
+  sign-LSH recall decays as p^h (BENCH.md recall tables separate the two
+  regimes).
 """
 
 from __future__ import annotations
@@ -227,6 +233,71 @@ def cosine_near_dup_pairs(
         .filter(F.col("_sim") >= threshold)
         .select(
             "doc_a", "doc_b", F.round(F.col("_sim"), 4).alias("cos_sim")
+        )
+    )
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    k: int = 5,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN top-k: coarse-quantize the corpus once (``ivf_assign``),
+    probe each query's ``nprobe`` nearest cells, exact-cosine re-rank the
+    probed candidates. The candidate set is ~nprobe/n_cells of the corpus
+    regardless of data distribution — the right scale tool for
+    UNCORRELATED vectors where sign-LSH recall decays as p^h
+    (tools/ann_recall.py measures both). At 10^10 vectors the corpus is
+    written partitioned by ``cell`` so each probe reads only its cells.
+
+    Ties rank (cos desc, cell asc) / (cos desc, neighbor_id asc) —
+    deterministic and oracle-reproducible.
+    """
+    spark = queries.sparkSession
+    cent_rows = [(i, [float(x) for x in c]) for i, c in enumerate(centroids)]
+    cents = spark.createDataFrame(cent_rows, "cell int, cvec array<double>")
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+    )
+    # probe selection: Q × n_cells tiny cross join (the centroid dim is
+    # driver-known small — broadcast), rank cells per query
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("_csim").desc(), F.col("cell")
+    )
+    probes = (
+        q.crossJoin(F.broadcast(cents))
+        .withColumn("_csim", cosine(F.col("_qv"), F.col("cvec")))
+        .withColumn("_crk", F.row_number().over(wq))
+        .filter(F.col("_crk") <= nprobe)
+        .select("query_id", "_qv", "cell")
+    )
+    c = ivf_assign(corpus, centroids, id_col, vec_col).select(
+        F.col("id").alias("neighbor_id"), "cell"
+    )
+    cv = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")
+    )
+    scored = (
+        probes.join(c, "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .join(cv, "neighbor_id")
+        .withColumn("_sim", cosine(F.col("_qv"), F.col("_cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "rank",
+            F.round(F.col("_sim"), 4).alias("cos_sim"),
         )
     )
 

@@ -61,6 +61,31 @@ def test_cosine_near_dup_pairs(spark, vectors):
     assert (0, 20) in pairs and (0, 21) in pairs and (20, 21) in pairs
 
 
+def test_ivf_topk_full_probe_equals_brute_force(spark, vectors):
+    """With nprobe = n_cells every cell is probed, so the candidate set is
+    the whole corpus — ivf_topk must equal brute_force_topk exactly."""
+    from ant_spark.operators.similarity import ivf_topk
+
+    cents = make_hyperplanes(DIM, 3, seed=2)
+    q = vectors.filter("vec_id < 4")
+    exact = sorted(map(tuple, brute_force_topk(q, vectors, k=3).collect()))
+    full = sorted(map(tuple, ivf_topk(q, vectors, cents, k=3, nprobe=3).collect()))
+    assert exact == full
+
+
+def test_ivf_topk_respects_probed_cells(spark, vectors):
+    """nprobe=1: every returned neighbor lives in its query's nearest cell,
+    and planted near-dups (same direction → same cell) are recalled."""
+    from ant_spark.operators.similarity import ivf_topk
+
+    cents = make_hyperplanes(DIM, 3, seed=2)
+    assign = {r["id"]: r["cell"] for r in ivf_assign(vectors, cents).collect()}
+    q = vectors.filter("vec_id = 0")
+    got = ivf_topk(q, vectors, cents, k=2, nprobe=1).collect()
+    assert {r["neighbor_id"] for r in got} == {20, 21}  # same cell as 0
+    assert all(assign[r["neighbor_id"]] == assign[0] for r in got)
+
+
 def test_ivf_assignment_deterministic(spark, vectors):
     cents = make_hyperplanes(DIM, 3, seed=2)
     a = ivf_assign(vectors, cents).collect()

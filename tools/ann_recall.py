@@ -112,6 +112,25 @@ def main() -> None:
         report["topk"].append(row)
         print(f"lsh_topk_tables 8 planes x {n_tables}: recall@{k}={rec:.3f} {dt:.1f}s")
 
+    # IVF probe path: candidate fraction ~nprobe/n_cells REGARDLESS of the
+    # data distribution — the uncorrelated-data ANN tool (sign-LSH recall
+    # decays as p^h there; see the table above).
+    from ant_spark.operators.similarity import ivf_topk
+
+    for n_cells, nprobe in ((8, 1), (8, 2), (8, 4), (16, 4)):
+        cents = make_hyperplanes(dim, n_cells, seed=7)
+        t0 = time.time()
+        approx = topk_sets(ivf_topk(emb, emb, cents, k=k, nprobe=nprobe))
+        dt = time.time() - t0
+        rec = recall_of(approx)
+        row = {
+            "ivf_cells": n_cells, "nprobe": nprobe, "recall": round(rec, 3),
+            "cand_frac": round(nprobe / n_cells, 3), "sec": round(dt, 1),
+        }
+        report["topk"].append(row)
+        print(f"ivf_topk cells={n_cells} nprobe={nprobe}: recall@{k}={rec:.3f} "
+              f"(~{nprobe}/{n_cells} of corpus probed) {dt:.1f}s")
+
     # near-dup pair recall: exact threshold pairs vs bucketed pairs.
     # threshold chosen at the ~99.9th percentile of the synthetic cosine
     # distribution so the exact set is non-trivial but bounded.

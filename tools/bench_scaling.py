@@ -107,19 +107,32 @@ def main() -> None:
     levels = tuple(
         int(x) for x in os.environ.get("SCALING_LEVELS", "1,4").split(",")
     )
+    # VM wall-clock varies ±15% across invocations (TODO.md gotcha) — a
+    # single pair is noise-dominated, so run SCALING_TRIALS fresh JVMs per
+    # level and keep the MEDIAN-throughput trial (alternating levels so
+    # slow host phases hit both levels equally).
+    trials = int(os.environ.get("SCALING_TRIALS", "1"))
+    runs: dict[int, list] = {c: [] for c in levels}
+    for t in range(trials):
+        for cpus in levels:
+            print(f"running local[{cpus}] (trial {t + 1}/{trials}) ...", flush=True)
+            out = subprocess.run(
+                [sys.executable, "-u", worker_path, pages_dir, str(cpus)],
+                capture_output=True, text=True, timeout=3000,
+            )
+            line = [l for l in out.stdout.splitlines() if l.startswith("RESULT ")]
+            if not line:
+                print(out.stdout[-3000:], out.stderr[-3000:])
+                raise SystemExit(f"worker local[{cpus}] produced no result")
+            r = json.loads(line[-1][len("RESULT "):])
+            runs[cpus].append(r)
+            print(r, flush=True)
     results = {}
     for cpus in levels:
-        print(f"running local[{cpus}] ...", flush=True)
-        out = subprocess.run(
-            [sys.executable, "-u", worker_path, pages_dir, str(cpus)],
-            capture_output=True, text=True, timeout=3000,
-        )
-        line = [l for l in out.stdout.splitlines() if l.startswith("RESULT ")]
-        if not line:
-            print(out.stdout[-3000:], out.stderr[-3000:])
-            raise SystemExit(f"worker local[{cpus}] produced no result")
-        results[cpus] = json.loads(line[-1][len("RESULT "):])
-        print(results[cpus], flush=True)
+        ordered = sorted(runs[cpus], key=lambda r: r["urls_per_sec"])
+        med = ordered[len(ordered) // 2]
+        med["trials_urls_per_sec"] = [r["urls_per_sec"] for r in runs[cpus]]
+        results[cpus] = med
 
     n_lvl, n4_lvl = levels
     tn, t4 = results[n_lvl]["urls_per_sec"], results[n4_lvl]["urls_per_sec"]
@@ -132,9 +145,19 @@ def main() -> None:
         "scaling_efficiency": round(eff, 3),
     }
     print(json.dumps(summary))
-    with open(os.path.join(repo, "BENCH.md"), "w") as f:
-        f.write(_report(summary))
-    print(f"wrote {os.path.join(repo, 'BENCH.md')}")
+    # splice ONLY the scaling section: everything from the tail sentinel on
+    # (bench.py pointer + per-round improvement logs) is hand-maintained and
+    # must survive a scaling re-run.
+    path = os.path.join(repo, "BENCH.md")
+    tail = _DEFAULT_TAIL
+    if os.path.exists(path):
+        cur = open(path).read()
+        idx = cur.find(_TAIL_SENTINEL)
+        if idx != -1:
+            tail = cur[idx:]
+    with open(path, "w") as f:
+        f.write(_report(summary) + tail)
+    print(f"wrote {path} (scaling section; tail preserved)")
 
 
 def _report(s: dict) -> str:
@@ -172,8 +195,13 @@ still reproducible via `SCALING_LEVELS=8,32`.)
 
 Regenerate: `python tools/bench_scaling.py {s['n_pages']}`
 
-Per-round metric breakdown and the per-sf operator timings are produced by
-`python bench.py` (one JSON line; recorded by the driver as BENCH_r{{N}}.json).
+"""
+
+
+_TAIL_SENTINEL = "Per-round metric breakdown"
+
+_DEFAULT_TAIL = """Per-round metric breakdown and the per-sf operator timings are produced by
+`python bench.py` (one JSON line; recorded by the driver as BENCH_r{N}.json).
 
 ## Round-2 engine improvements (each measured, same 20k-page bench crawl)
 
