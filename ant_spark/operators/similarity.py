@@ -310,20 +310,28 @@ def ivf_assign(
 ) -> DataFrame:
     """IVF coarse quantization: assign each vector to its nearest centroid
     (literal centroid list — at scale, k-means output broadcast as literals
-    or a small joined dim). Output (id, cell, cos_to_centroid)."""
+    or a small joined dim). Output (id, cell, cos_to_centroid).
+
+    Argmax is the LINEAR array formulation — sims array + array_max +
+    first-index — because a when(sim > best, ...).otherwise(best) fold
+    embeds the previous best TWICE per step, an O(2^n_centroids) expression
+    tree that OOMs the driver past ~12 centroids (found at 16 in
+    tools/ann_recall.py). array_position returns the FIRST index of the
+    max, preserving the first-wins tie semantics of the oracle's CASE."""
     out = corpus.select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("v")
     )
-    best_cell = F.lit(-1).cast("int")
-    best_sim = F.lit(-2.0)
-    for i, cvec in enumerate(centroids):
-        lit = F.array(*[F.lit(x) for x in cvec])
-        sim = cosine(F.col("v"), lit)
-        better = sim > best_sim
-        best_cell = F.when(better, F.lit(i).cast("int")).otherwise(best_cell)
-        best_sim = F.when(better, sim).otherwise(best_sim)
+    sims = F.array(
+        *[
+            cosine(F.col("v"), F.array(*[F.lit(x) for x in cvec]))
+            for cvec in centroids
+        ]
+    )
+    out = out.withColumn("_sims", sims)
+    best = F.array_max(F.col("_sims"))
+    cell = (F.array_position(F.col("_sims"), best) - 1).cast("int")
     return out.select(
         "id",
-        best_cell.alias("cell"),
-        F.round(best_sim, 4).alias("cos_to_centroid"),
+        cell.alias("cell"),
+        F.round(best, 4).alias("cos_to_centroid"),
     )

@@ -114,6 +114,13 @@ def main() -> None:
     results.append(
         check("similarity_no_python", p, [], ["BatchEvalPython", "ArrowEvalPython"])
     )
+    from ant_spark.operators.similarity import ivf_topk, make_hyperplanes
+
+    ivf = ivf_topk(emb.limit(4), emb, make_hyperplanes(64, 4, seed=7), k=3, nprobe=2)
+    p = plan_of(ivf)
+    results.append(
+        check("ivf_topk_no_python", p, [], ["BatchEvalPython", "ArrowEvalPython"])
+    )
 
     # 5. DEFAULT-config engine round plans contain no partition-less Window
     # (a global sort of the frontier would single-thread seq assignment at
