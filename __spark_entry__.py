@@ -431,6 +431,16 @@ def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.simhash64_flat(docs, "text")
 
 
+def _q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash banded near-dup pairs (pigeonhole: hamming<=3 over 4 bands ⇒
+    one band agrees exactly — candidates from a band equi-join, never
+    all-pairs; exact Hamming verifies)."""
+    from ant_spark.operators import textops as T
+
+    docs = _t(spark, sf_dir, "documents")
+    return T.simhash_near_dup_pairs(docs, "text", max_hamming=3, n_bands=4)
+
+
 def _q_pack_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LM sequence packing: concat-and-chunk window plan per document."""
     from ant_spark.operators import textops as T
@@ -634,6 +644,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_minhash_sig": _q_minhash_sig,
         "text_jaccard_pairs": _q_jaccard_pairs,
         "text_simhash": _q_simhash,
+        "text_simhash_near_dup": _q_simhash_pairs,
         "text_winnow_fingerprints": _q_winnow,
         "text_pack_plan": _q_pack_plan,
         "text_content_flags": _q_content_flags,
@@ -721,6 +732,14 @@ def _quality_sql() -> str:
 
 
 _TOKEN_SQL = "len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))"
+
+# 60-bit SimHash majority-vote sum over an `hs` BIGINT-list column (shared
+# by text_simhash and text_simhash_near_dup)
+_SIMHASH_BITS_SQL = " + ".join(
+    f"(CASE WHEN len(list_filter(hs, v -> (v >> {b}) & 1 = 1)) * 2 > len(hs) "
+    f"THEN 1 ELSE 0 END)::BIGINT * {1 << b}"
+    for b in range(60)
+)
 
 
 def _minhash0_sql(seed: int = 0) -> str:
@@ -1069,8 +1088,27 @@ def oracle_sql() -> dict[str, str]:
                   t -> ('0x' || substring(md5(t), 1, 15))::BIGINT) AS hs
               FROM documents)
             SELECT doc_id,
-              ({' + '.join(f"(CASE WHEN len(list_filter(hs, v -> (v >> {b}) & 1 = 1)) * 2 > len(hs) THEN 1 ELSE 0 END)::BIGINT * {1 << b}" for b in range(60))})::BIGINT AS simhash
+              ({_SIMHASH_BITS_SQL})::BIGINT AS simhash
             FROM h
+        """,
+        "text_simhash_near_dup": f"""
+            WITH h AS (
+              SELECT doc_id,
+                list_transform(list_distinct(string_split({_NORM_TEXT_SQL}, ' ')),
+                  t -> ('0x' || substring(md5(t), 1, 15))::BIGINT) AS hs
+              FROM documents),
+            s AS (
+              SELECT doc_id, ({_SIMHASH_BITS_SQL})::BIGINT AS simhash FROM h),
+            banded AS (
+              {' UNION ALL '.join(f"SELECT doc_id, simhash, {b} AS band_idx, (simhash >> {15 * b}) & 32767 AS band_key FROM s" for b in range(4))}),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     a.simhash AS sa, b.simhash AS sb
+              FROM banded a JOIN banded b
+                ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+               AND a.doc_id < b.doc_id)
+            SELECT doc_a, doc_b, bit_count(xor(sa, sb))::INT AS hamming
+            FROM cand WHERE bit_count(xor(sa, sb)) <= 3
         """,
         "text_minhash_lsh_pairs": f"""
             WITH sh AS (

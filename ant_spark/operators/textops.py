@@ -405,6 +405,68 @@ def hamming64(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
 
 
+def simhash_near_dup_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    max_hamming: int = 3,
+    n_bands: int = 4,
+) -> DataFrame:
+    """SimHash near-duplicate pairs, banded (Charikar/pigeonhole): split the
+    60-bit fingerprint into ``n_bands`` bands — two fingerprints within
+    ``max_hamming <= n_bands - 1`` bit flips MUST agree exactly on at least
+    one band, so candidates come from a band-key equi-join (never all
+    pairs), then the exact Hamming filter verifies. Same scale shape as
+    MinHash-LSH: the band join shuffles on (band_idx, band_key) only, and
+    at corpus scale the banded table is storage-bucketed by band_key.
+
+    Returns (doc_a, doc_b, hamming) with doc_a < doc_b.
+    """
+    if max_hamming > n_bands - 1:
+        raise ValueError(
+            f"banding guarantee requires max_hamming <= n_bands-1 "
+            f"({max_hamming} > {n_bands - 1}): pairs beyond it can differ "
+            "in every band and would be silently missed"
+        )
+    width = 60 // n_bands
+    mask = (1 << width) - 1
+    sims = simhash64_flat(docs, text_col)
+    band_cols = [
+        (
+            F.shiftrightunsigned(F.col("simhash"), width * b).bitwiseAND(
+                F.lit(mask)
+            )
+        ).alias(f"k{b}")
+        for b in range(n_bands)
+    ]
+    banded = (
+        sims.select("doc_id", "simhash", *band_cols)
+        .unpivot(
+            ["doc_id", "simhash"],
+            [f"k{b}" for b in range(n_bands)],
+            "band_idx",
+            "band_key",
+        )
+        .persist()
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            hamming64(F.col("a.simhash"), F.col("b.simhash")).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
 # --------------------------------------------------------------------------
 # LM training-data packing + content flags
 

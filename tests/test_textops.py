@@ -100,6 +100,31 @@ def test_simhash_near_dup_distance(spark, docs):
     assert sh == spec
 
 
+def test_simhash_near_dup_pairs_banded(spark, docs):
+    """Banded simhash pair generation: identical-fingerprint docs pair at
+    hamming 0; the band join result equals a brute-force hamming filter
+    (the pigeonhole guarantee holds exactly for max_hamming <= bands-1)."""
+    import pytest as _pytest
+
+    got = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in T.simhash_near_dup_pairs(docs, "text", max_hamming=3).collect()
+    }
+    assert got[(0, 5)] == 0 and got[(0, 6)] == 0 and got[(5, 6)] == 0
+    # brute-force reference over all pairs
+    sh = {r["doc_id"]: r["simhash"] for r in T.simhash64_flat(docs, "text").collect()}
+    ids = sorted(sh)
+    brute = {
+        (a, b): bin(sh[a] ^ sh[b]).count("1")
+        for i, a in enumerate(ids)
+        for b in ids[i + 1:]
+        if bin(sh[a] ^ sh[b]).count("1") <= 3
+    }
+    assert got == brute
+    with _pytest.raises(ValueError):
+        T.simhash_near_dup_pairs(docs, "text", max_hamming=4, n_bands=4)
+
+
 def test_minhash_xxhash64_mode_matches_md5_pairs(spark, docs):
     """hash_fn='xxhash64' (scale mode) finds the same guaranteed collisions
     as the md5 oracle mode on exact/normalized dups."""
