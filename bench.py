@@ -90,8 +90,10 @@ def main() -> None:
         "text_fingerprint_dups",
         "text_minhash_lsh_pairs",
         "text_simhash",
+        "text_simhash_near_dup",
         "emb_cosine_topk",
         "emb_lsh_bucket",
+        "emb_ivf_topk",
     ]
     for name in bench_queries:
         t = time.time()
