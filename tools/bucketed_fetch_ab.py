@@ -36,6 +36,7 @@ from contextlib import redirect_stdout
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 os.environ["ANT_SPARK_EXPLAIN_FETCH"] = "1"
+os.environ["ANT_SPARK_EXPLAIN_DEDUPE"] = "1"
 
 
 def main() -> None:
@@ -81,23 +82,37 @@ def main() -> None:
         "bucketed": CrawlConfig(
             max_rounds=2, pages_table="fetch_ab_pages", fetch_buckets=32
         ),
+        # the full 100 TB shape: BOTH big joins storage-partitioned — the
+        # fetch join (url-bucketed pages + staged frontier) AND the dedupe
+        # anti-join (url_hash-bucketed seen + staged candidates) must show
+        # zero Exchanges in the same engine round.
+        "bucketed_both": CrawlConfig(
+            max_rounds=2, pages_table="fetch_ab_pages", fetch_buckets=32,
+            state_backend="bucketed",
+        ),
     }
     results = {}
     fetch_sets = {}
-    for name in ("plain", "bucketed", "plain", "bucketed"):
+    for name in ("plain", "bucketed", "plain", "bucketed", "bucketed_both"):
         eng = Engine(spark, pages, None, variants[name])
         buf = io.StringIO()
         t0 = time.time()
         with redirect_stdout(buf):
             res = eng.run(seeds_df)
         wall = time.time() - t0
+        out = buf.getvalue()
         exchanges = [
-            int(m) for m in re.findall(r"Exchanges=(\d+)", buf.getvalue())
+            int(m) for m in re.findall(r"\[fetch-plan[^\n]*Exchanges=(\d+)", out)
+        ]
+        dd_exchanges = [
+            int(m) for m in re.findall(r"\[dedupe-plan[^\n]*Exchanges=(\d+)", out)
         ]
         r = results.setdefault(
-            name, {"walls": [], "crawl_walls": [], "exchanges": []}
+            name, {"walls": [], "crawl_walls": [], "exchanges": [],
+                   "dedupe_exchanges": []}
         )
         r["exchanges"].extend(exchanges)  # every run's plan evidence
+        r["dedupe_exchanges"].extend(dd_exchanges)
         r["walls"].append(round(wall, 2))
         r["crawl_walls"].append(res.crawl_wall_sec)
         r["urls_per_sec"] = round(res.pages_fetched / res.crawl_wall_sec, 1)
@@ -105,7 +120,8 @@ def main() -> None:
         fetch_sets[name] = res.pages_fetched
         print(
             f"{name}: wall={wall:.1f}s crawl_wall={res.crawl_wall_sec}s "
-            f"fetch-join Exchanges/round={exchanges}",
+            f"fetch-join Exchanges/round={exchanges} "
+            f"dedupe Exchanges/round={dd_exchanges}",
             flush=True,
         )
 
@@ -113,18 +129,25 @@ def main() -> None:
         {"n_pages": n_pages, "bucket_write_sec": round(t_bucket, 1),
          "variants": results}
     ))
-    same = fetch_sets["plain"] == fetch_sets["bucketed"]
+    same = len(set(fetch_sets.values())) == 1
     ok_plan = all(x == 0 for x in results["bucketed"]["exchanges"])
     ok_plain = any(x > 0 for x in results["plain"]["exchanges"])
+    both = results["bucketed_both"]
+    ok_both = (
+        all(x == 0 for x in both["exchanges"])
+        and all(x == 0 for x in both["dedupe_exchanges"])
+        and len(both["dedupe_exchanges"]) > 0
+    )
     if not same:
         print(f"FAIL: fetch counts differ {fetch_sets}")
     print(
-        "PASS: bucketed fetch join is Exchange-free in the engine "
-        "(plain SMJ shuffles as expected)"
-        if (ok_plan and ok_plain and same)
+        "PASS: bucketed fetch join is Exchange-free in the engine (plain "
+        "SMJ shuffles as expected) and the combined bucketed_both round "
+        "runs BOTH big joins (fetch + dedupe) with zero Exchanges"
+        if (ok_plan and ok_plain and ok_both and same)
         else "FAIL: unexpected plan shape"
     )
-    sys.exit(0 if (ok_plan and ok_plain and same) else 1)
+    sys.exit(0 if (ok_plan and ok_plain and ok_both and same) else 1)
 
 
 if __name__ == "__main__":

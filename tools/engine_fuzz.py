@@ -84,6 +84,19 @@ def main() -> None:
         pages_pdf, robots_pdf, seeds = generate(gcfg)
         pages = spark.createDataFrame(pages_pdf, schema=schemas.PAGES)
         robots = spark.createDataFrame(robots_pdf, schema=schemas.ROBOTS)
+        # bucketed fetch dimension: the url-bucketed pages table must be
+        # semantics-invisible (same visited set / order) under EVERY config
+        if rng.random() < 0.3:
+            import tempfile
+
+            nb = rng.choice([4, 8])
+            Engine.create_pages_table(
+                spark, pages, f"fuzz_pages_{i}",
+                tempfile.mkdtemp(prefix=f"fuzz_pt_{i}_") + "/t",
+                buckets=nb,
+            )
+            ccfg.pages_table = f"fuzz_pages_{i}"
+            ccfg.fetch_buckets = nb
         t = time.time()
         try:
             res = Engine(spark, pages, robots, ccfg).run(seeds)
@@ -122,7 +135,7 @@ def main() -> None:
             f"queue={ccfg.queue_policy} salt={ccfg.politeness_salt} "
             f"rates={bool(ccfg.host_rates)} global={ccfg.global_rate} "
             f"depth={ccfg.max_depth} delayhosts={gcfg.crawl_delay_hosts} "
-            f"flaky={gcfg.flaky_every}",
+            f"flaky={gcfg.flaky_every} pages_tbl={ccfg.pages_table is not None}",
             flush=True,
         )
     print(f"{'PASS' if failures == 0 else 'FAIL'}: {n_cfgs - failures}/{n_cfgs} configs clean")
