@@ -449,6 +449,17 @@ def _q_pack_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.pack_plan(docs, capacity=512)
 
 
+def _q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality rule: duplicate word-3-gram fraction
+    per document (boilerplate/spam signal for curation)."""
+    from ant_spark.operators import textops as T
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", T.repetition_score(F.col("text"), k=3).alias("rep_score")
+    )
+
+
 def _q_content_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII/content screening counts; emails/phones injected deterministically
     so the counts are non-trivial on the synthetic corpus."""
@@ -648,6 +659,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_winnow_fingerprints": _q_winnow,
         "text_pack_plan": _q_pack_plan,
         "text_content_flags": _q_content_flags,
+        "text_repetition": _q_repetition,
         "text_minhash_lsh_pairs": _q_minhash_lsh_pairs,
         "text_curation_pipeline": _q_curation,
         # similarity search
@@ -1064,6 +1076,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, n_emails, n_urls, n_phones,
                    (n_emails + n_phones > 0) AS has_pii
             FROM f
+        """,
+        "text_repetition": f"""
+            SELECT doc_id,
+              CASE WHEN len(sh) > 0
+                   THEN round(1.0 - len(list_distinct(sh))::DOUBLE / len(sh), 4)
+                   ELSE 0.0 END AS rep_score
+            FROM (SELECT doc_id, {_SHINGLES_SQL} AS sh FROM documents)
         """,
         "text_winnow_fingerprints": f"""
             WITH hs AS (

@@ -548,6 +548,20 @@ def pack_plan(
     )
 
 
+def repetition_score(text_col: Column, k: int = 3) -> Column:
+    """Within-document repetition signal (Gopher-style quality rule): the
+    fraction of duplicate word k-grams, ``1 - distinct/total`` over the
+    normalized shingle stream. 0.0 = no repeated k-grams; boilerplate and
+    generated spam score high. Pure native array exprs — per-row,
+    embarrassingly parallel, SQL-oracle-reproducible."""
+    sh = ngram_shingles(text_col, k)
+    total = F.size(sh)
+    uniq = F.size(F.array_distinct(sh))
+    return F.when(
+        total > 0, F.round(F.lit(1.0) - uniq / total, 4)
+    ).otherwise(F.lit(0.0))
+
+
 EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 URL_RE = r"https?://[^\s]+"
 PHONE_RE = r"\+?[0-9]{10,12}"

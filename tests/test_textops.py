@@ -261,6 +261,26 @@ def test_content_flags(spark):
     assert out[1]["n_emails"] == 0 and not out[1]["has_pii"]
 
 
+def test_repetition_score(spark):
+    docs = spark.createDataFrame(
+        [
+            (0, "spam spam spam spam spam spam"),  # one distinct 3-gram
+            (1, "all these words appear exactly once here"),
+            (2, ""),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r["rep"]
+        for r in docs.select(
+            "doc_id", T.repetition_score(F.col("text"), k=3).alias("rep")
+        ).collect()
+    }
+    assert out[0] == 0.75  # 4 shingles, 1 distinct
+    assert out[1] == 0.0
+    assert out[2] == 0.0
+
+
 def test_content_flags_null_text(spark):
     """NULL text must yield concrete zeros, not NULLs — a NULL has_pii row
     would vanish from both has_pii and NOT has_pii filters."""
