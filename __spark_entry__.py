@@ -465,9 +465,28 @@ def _q_content_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the counts are non-trivial on the synthetic corpus."""
     from ant_spark.operators import textops as T
 
+    flags = _salted_docs(spark, sf_dir).select(
+        "doc_id", T.content_flags(F.col("text")).alias("f")
+    )
+    return flags.select(
+        "doc_id", "f.n_emails", "f.n_urls", "f.n_phones", "f.has_pii"
+    )
+
+
+def _q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ant_spark.operators import textops as T
+
     docs = _t(spark, sf_dir, "documents")
-    salted = docs.select(
+    return T.minhash_candidate_pairs(docs, "text", n_hashes=8, n_bands=4, k=3)
+
+
+def _salted_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents with deterministic PII injection (shared by content_flags
+    and the full curation query so the PII stage has rows to drop)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
         "doc_id",
+        "source",
         F.concat(
             F.col("text"),
             F.when(
@@ -488,17 +507,20 @@ def _q_content_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(F.lit("")),
         ).alias("text"),
     )
-    flags = salted.select("doc_id", T.content_flags(F.col("text")).alias("f"))
-    return flags.select(
-        "doc_id", "f.n_emails", "f.n_urls", "f.n_phones", "f.has_pii"
+
+
+def _q_curation_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL curation chain: lang → quality floor → repetition cap →
+    PII drop → exact dedup → minhash+jaccard near-dup removal, over docs
+    with deterministically injected PII."""
+    from ant_spark.operators.curation import curate
+
+    salted = _salted_docs(spark, sf_dir)
+    kept, _ = curate(
+        salted, langs=("en",), min_quality=0.5, jaccard_threshold=0.8,
+        n_hashes=8, n_bands=4, k=3, max_repetition=0.5, drop_pii=True,
     )
-
-
-def _q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ant_spark.operators import textops as T
-
-    docs = _t(spark, sf_dir, "documents")
-    return T.minhash_candidate_pairs(docs, "text", n_hashes=8, n_bands=4, k=3)
+    return kept
 
 
 def _q_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -662,6 +684,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repetition": _q_repetition,
         "text_minhash_lsh_pairs": _q_minhash_lsh_pairs,
         "text_curation_pipeline": _q_curation,
+        "text_curation_full": _q_curation_full,
         # similarity search
         "emb_cosine_topk": _q_cosine_topk,
         "emb_lsh_bucket": _q_lsh_bucket,
@@ -1154,6 +1177,64 @@ def oracle_sql() -> dict[str, str]:
             qual AS (
               SELECT * FROM enriched
               WHERE lang_id IN ('en') AND quality >= 0.5),
+            exact_kept AS (
+              SELECT * FROM (
+                SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+                FROM qual) WHERE rn = 1),
+            sig AS (
+              SELECT doc_id,
+                {', '.join(f"list_aggregate(list_transform({_SHINGLES_SQL}, x -> md5('{i}:' || x)), 'min') AS h{i}" for i in range(8))}
+              FROM exact_kept),
+            banded AS (
+              {' UNION ALL '.join(f"SELECT doc_id, {b} AS band_idx, md5(h{2*b} || '|' || h{2*b+1}) AS band_key FROM sig" for b in range(4))}),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+              FROM banded a JOIN banded b
+                ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+               AND a.doc_id < b.doc_id),
+            shd AS (
+              SELECT doc_id, list_distinct({_SHINGLES_SQL}) AS sd FROM exact_kept),
+            conf AS (
+              SELECT da, db FROM cand
+              JOIN shd a ON cand.da = a.doc_id
+              JOIN shd b ON cand.db = b.doc_id
+              WHERE round(len(list_intersect(a.sd, b.sd))::DOUBLE
+                    / (len(a.sd) + len(b.sd) - len(list_intersect(a.sd, b.sd))), 4) >= 0.8)
+            SELECT doc_id, lang_id, quality, n_tokens
+            FROM exact_kept
+            WHERE doc_id NOT IN (SELECT db FROM conf)
+        """,
+        "text_curation_full": f"""
+            WITH salted AS (
+              SELECT doc_id, text
+                || (CASE WHEN doc_id % 5 = 0
+                    THEN ' contact bob' || doc_id::VARCHAR || '@example.com'
+                    ELSE '' END)
+                || (CASE WHEN doc_id % 7 = 0
+                    THEN ' call +1555' || (doc_id % 10000000)::VARCHAR
+                    ELSE '' END)
+                || (CASE WHEN doc_id % 3 = 0
+                    THEN ' see https://example.com/ref' ELSE '' END) AS text
+              FROM documents),
+            enriched AS (
+              SELECT doc_id, text,
+                {_lang_score_sql()} AS lang_id,
+                {_quality_sql()} AS quality,
+                {_TOKEN_SQL}::INT AS n_tokens,
+                md5({_NORM_TEXT_SQL}) AS fp,
+                CASE WHEN len({_SHINGLES_SQL}) > 0
+                     THEN round(1.0 - len(list_distinct({_SHINGLES_SQL}))::DOUBLE
+                                / len({_SHINGLES_SQL}), 4)
+                     ELSE 0.0 END AS rep,
+                (len(regexp_extract_all(text,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}'))
+                 + len(regexp_extract_all(text, '\\+?[0-9]{{10,12}}')) > 0)
+                  AS pii
+              FROM salted),
+            qual AS (
+              SELECT * FROM enriched
+              WHERE lang_id IN ('en') AND quality >= 0.5
+                AND rep <= 0.5 AND NOT pii),
             exact_kept AS (
               SELECT * FROM (
                 SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn

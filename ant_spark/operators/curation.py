@@ -32,12 +32,18 @@ def curate(
     n_bands: int = 4,
     k: int = 3,
     hash_fn: str = "md5",
+    max_repetition: float | None = None,
+    drop_pii: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """→ (kept_docs, stats). ``kept_docs`` = (doc_id, lang_id, quality,
     n_tokens); ``stats`` = (stage, n) rejection lineage.
 
     ``hash_fn='xxhash64'`` switches the near-dup stage to 64-bit JVM hashes
     (the scale mode); 'md5' keeps the full chain DuckDB-oracle-reproducible.
+    ``max_repetition`` drops docs whose duplicate k-gram fraction exceeds it
+    (Gopher-style boilerplate rule); ``drop_pii`` drops docs whose
+    content_flags has_pii fires. Both optional stages are per-row native
+    exprs — they extend the codegen span, not the shuffle count.
     """
     enriched = docs.select(
         "doc_id",
@@ -46,10 +52,16 @@ def curate(
         T.quality_score(F.col("text")).alias("quality"),
         T.token_count(F.col("text")).alias("n_tokens"),
         T.fingerprint(F.col("text")).alias("fp"),
+        T.repetition_score(F.col("text"), k).alias("_rep"),
+        T.content_flags(F.col("text")).getField("has_pii").alias("_pii"),
     )
 
     lang_ok = enriched.filter(F.col("lang_id").isin(*langs))
     qual_ok = lang_ok.filter(F.col("quality") >= min_quality)
+    if max_repetition is not None:
+        qual_ok = qual_ok.filter(F.col("_rep") <= max_repetition)
+    if drop_pii:
+        qual_ok = qual_ok.filter(~F.col("_pii"))
 
     # exact dedup: keep the lowest doc_id per fingerprint
     from pyspark.sql import Window
