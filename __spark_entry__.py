@@ -338,6 +338,34 @@ def _q_rate_rule_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     return admitted.groupBy("host").agg(F.count("*").alias("n_admitted"))
 
 
+def _q_rate_rule_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3 exact multi-bucket composition (limiters.go:44-88): OVERLAPPING
+    rules — every matching limiter binds serially, so a row must fit within
+    EVERY matching rule's budget and a row deferred at rule j still consumed
+    tokens of rules < j (chained per-rule windows, mode='all')."""
+    from ant_spark.operators.politeness import rule_budget
+
+    ev = _t(spark, sf_dir, "events")
+    fr = ev.select(
+        F.concat(
+            F.lit("http://h"), (F.col("user_id") % 5).cast("string"),
+            F.lit(".test/"),
+            F.when(F.col("event_id") % 2 == 0, F.lit("x/")).otherwise(F.lit("y/")),
+            F.col("event_id").cast("string"),
+        ).alias("url"),
+        F.col("event_id").alias("url_hash"),
+        F.concat(F.lit("h"), (F.col("user_id") % 5).cast("string"), F.lit(".test")).alias("host"),
+        F.col("event_id").alias("seq"),
+    )
+    admitted, _ = rule_budget(
+        fr,
+        [("regexp", "h[12]\\.test/", 8), ("pattern", "h1.test/x/*", 3)],
+        1.0,
+        mode="all",
+    )
+    return admitted.groupBy("host").agg(F.count("*").alias("n_admitted"))
+
+
 # --- text-analysis / dedup family ------------------------------------------
 
 
@@ -668,6 +696,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_cache_merge": _q_cache_merge,
         "crawl_cache_revalidate": _q_cache_revalidate,
         "crawl_rate_rule_budget": _q_rate_rule_budget,
+        "crawl_rate_rule_multi": _q_rate_rule_multi,
         "events_sessionize": _q_sessionize,
         # training-data text ops
         "text_language_id": _q_language_id,
@@ -967,13 +996,15 @@ def oracle_sql() -> dict[str, str]:
               SELECT c.event_id,
                 CASE
                   WHEN c.cc = 'no-store' THEN 'no_store'
+                  -- Vary mismatch is transparent (rfc7234.go:84-86): the
+                  -- stored variant is unusable even for validation
+                  WHEN c.vary_mismatch THEN 'miss'
                   WHEN c.warc_ts >= (SELECT max(ts) FROM events)
                          - INTERVAL 1 SECOND * (CASE
                              WHEN c.cc = 'max-age=60' THEN 60
                              WHEN c.cc = 'max-age=999999999' THEN 999999999
                              ELSE 7200 END)
-                       AND coalesce(c.cc, '') <> 'no-cache'
-                       AND NOT c.vary_mismatch THEN 'fresh'
+                       AND coalesce(c.cc, '') <> 'no-cache' THEN 'fresh'
                   WHEN o.status IS NULL THEN 'miss'
                   WHEN o.status >= 500 AND o.status < 600 THEN 'error'
                   WHEN o.status <> 200 THEN 'miss'
@@ -1010,6 +1041,41 @@ def oracle_sql() -> dict[str, str]:
                 SELECT host, budget,
                        row_number() OVER (PARTITION BY rule ORDER BY seq) AS rk
                 FROM tagged WHERE rule >= 0) WHERE rk <= budget)
+            SELECT host, count(*) AS n_admitted FROM admitted GROUP BY host
+        """,
+        "crawl_rate_rule_multi": """
+            WITH fr AS (
+              SELECT
+                'h' || (user_id % 5)::VARCHAR || '.test' AS host,
+                'h' || (user_id % 5)::VARCHAR || '.test/' ||
+                  (CASE WHEN event_id % 2 = 0 THEN 'x/' ELSE 'y/' END) ||
+                  event_id::VARCHAR AS hostpath,
+                event_id AS seq
+              FROM events),
+            flags AS (
+              SELECT *,
+                regexp_matches(hostpath, 'h[12]\\.test/') AS m0,
+                regexp_full_match(hostpath, 'h1\\.test/x/.*') AS m1
+              FROM fr),
+            -- chained per-rule budget windows (serial token acquisition):
+            -- pass 0 ranks rows matching rule 0, keeps the first 8; pass 1
+            -- ranks the SURVIVORS matching rule 1, keeps the first 3
+            p0 AS (
+              SELECT * FROM (
+                SELECT host, seq, m0, m1,
+                       row_number() OVER (PARTITION BY m0 ORDER BY seq) AS rk0
+                FROM flags WHERE m0 OR m1)
+              WHERE NOT m0 OR rk0 <= 8),
+            p1 AS (
+              SELECT * FROM (
+                SELECT host, seq, m1,
+                       row_number() OVER (PARTITION BY m1 ORDER BY seq) AS rk1
+                FROM p0)
+              WHERE NOT m1 OR rk1 <= 3),
+            admitted AS (
+              SELECT host FROM flags WHERE NOT m0 AND NOT m1
+              UNION ALL
+              SELECT host FROM p1)
             SELECT host, count(*) AS n_admitted FROM admitted GROUP BY host
         """,
         "events_sessionize": """

@@ -101,6 +101,9 @@ class CrawlConfig:
     priority_fn: Callable | None = None
     # LimitPattern/LimitRegexp rules: (kind in {pattern,regexp}, expr, n/sec)
     pattern_rates: list = field(default_factory=list)
+    # 'all' (reference-exact: every matching limiter binds, chained per-rule
+    # windows) | 'first_match' (one window; identical for disjoint rules)
+    pattern_rule_mode: str = "all"
     max_age_seconds: float | None = None  # cache freshness (S5); needs crawl_ts
     crawl_ts: Any = None  # datetime 'now' for freshness tests
     # 'partitioned' is the default (scale-safe: seq windows are per
@@ -760,7 +763,8 @@ class Engine:
                 deferred = deferred.drop("_b", "crawl_delay").select(*frontier.columns)
                 if cfg.pattern_rates:
                     admitted, deferred3 = politeness.rule_budget(
-                        admitted, cfg.pattern_rates, cfg.round_seconds, order_cols
+                        admitted, cfg.pattern_rates, cfg.round_seconds,
+                        order_cols, mode=cfg.pattern_rule_mode,
                     )
                     deferred = deferred.unionByName(deferred3.select(*frontier.columns))
                 if cfg.global_rate is not None:

@@ -161,8 +161,9 @@ def revalidate(
       the row must be validated (rfc7234.go:100-102).
     - ``vary_col`` + ``req_headers_col``/``resp_headers_col``
       (map<string,string>, lowercased keys): RFC 7234 §4.1 selecting-header
-      match; a mismatch skips the fresh branch (utils.go:38-52 →
-      rfc7234.go:84-86 transparent).
+      match; a mismatch is TRANSPARENT — the stored variant is unusable even
+      for validation, so the row is a ``miss`` (full refetch) ahead of all
+      validator branches (utils.go:38-52 → rfc7234.go:84-86 → load nil).
 
     Stays a single native join + CASE expression: Catalyst broadcast-joins
     a small origin probe, or sort-merge-joins two url-bucketed tables
@@ -209,7 +210,13 @@ def revalidate(
     )
     decision = (
         F.when(no_store, F.lit("no_store"))
-        .when(is_fresh & ~no_cache & vary_ok, F.lit("fresh"))
+        # RFC 7234 §4.1: a Vary selecting-header mismatch makes the stored
+        # variant unusable even for validation — the reference's fresh()
+        # returns ``transparent`` BEFORE any directive/validator logic
+        # (rfc7234.go:84-86), load yields nil, and the client refetches in
+        # full. Routed ahead of every branch below, not just ``fresh``.
+        .when(~vary_ok, F.lit("miss"))
+        .when(is_fresh & ~no_cache, F.lit("fresh"))
         .when(origin_missing, F.lit("miss"))
         .when(
             origin_5xx,

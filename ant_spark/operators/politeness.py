@@ -180,38 +180,114 @@ def rule_budget(
     rules: list[tuple[str, str, int]],
     round_seconds: float,
     order_cols: list[str] | None = None,
+    mode: str = "all",
 ) -> tuple[DataFrame, DataFrame]:
     """LimitPattern / LimitRegexp (limiters.go:60-88): per-rule token buckets.
 
     ``rules``: (kind, expr, n) with kind in {'pattern','regexp'}; subject is
     host+path WITHOUT the leading-'/' coercion (limiters match the raw
     ``u.Host + u.Path`` — unlike matchers, limiters.go:63 vs matchers.go:68).
-    A row is tagged with the FIRST matching rule (reference applies every
-    matching limiter serially; the per-round equivalent of multiple buckets
-    is the min budget — first-match is the documented simplification, exact
-    multi-bucket mode composes by calling this repeatedly).
+
+    ``mode='all'`` (default — reference-exact): the reference applies EVERY
+    matching limiter serially in declared order, each ``wait``-ing on its
+    own bucket (limiters.go:44-88 — the worker takes rule i's token before
+    blocking on rule i+1). The BSP-round equivalent is a CHAIN of per-rule
+    budget windows: pass i ranks the pass-(i-1) survivors that match rule i
+    by ``order_cols`` and keeps the first budget_i; a row deferred at rule j
+    has consumed tokens of every earlier matching rule, exactly like the Go
+    worker. With fully-overlapping rules the admitted count is therefore
+    the MIN of the rule budgets. Each pass's filter is ``rank <= literal``
+    (budgets are driver-known), so Catalyst's InferWindowGroupLimit prunes
+    a rule matching 10^9 rows to ≤ budget_i rows per input partition
+    map-side BEFORE its shuffle — n_rules bounded windows, never a giant
+    one.
+
+    ``mode='first_match'``: the round-3 simplification — a row is tagged
+    with its FIRST matching rule only and ranked once within that rule
+    (one window total; identical output for disjoint rule sets).
+
     Returns (admitted, deferred).
+
+    CONTRACT: ``frontier`` must carry a globally-UNIQUE ``seq`` column —
+    the deferred set is recovered by anti-joining on ``seq`` (rows ranked
+    past a rule's budget never materialize in the window output), so
+    duplicate seqs would silently drop/duplicate deferred rows. Raises when
+    the column is absent; uniqueness is the caller's responsibility (the
+    engine assigns collision-free seqs by construction).
     """
     from ant_spark.functions.urlnorm import hostpath_of
     from ant_spark.operators.matchers import glob_to_regex
 
+    if "seq" not in frontier.columns:
+        raise ValueError(
+            "rule_budget requires a globally-unique 'seq' column on the "
+            "frontier (the deferred set is recovered by anti-join on seq)"
+        )
+    if mode not in ("all", "first_match"):
+        raise ValueError(f"unknown rule_budget mode {mode!r}")
     if not rules:
         return frontier, frontier.filter(F.lit(False))
     order_cols = order_cols or ["seq"]
     subject = hostpath_of(F.col("url"))
-    rule_id = F.lit(-1)
-    budget = F.lit(None).cast("long")
-    expr = None
-    bexpr = None
-    for i, (kind, pat, n) in enumerate(rules):
-        cond = (
+    conds: list[Column] = []
+    budgets: list[int] = []
+    for kind, pat, n in rules:
+        conds.append(
             subject.rlike(glob_to_regex(pat))
             if kind == "pattern"
             else subject.rlike(pat)
         )
-        b = F.lit(max(1, int(n * round_seconds)))
+        budgets.append(max(1, int(n * round_seconds)))
+
+    if mode == "all":
+        # match flags computed ONCE per row (each rule's regex evaluated in
+        # one projection), then the chain filters on the boolean columns.
+        flag_cols = [f"_m{i}" for i in range(len(rules))]
+        flagged = frontier.select(
+            "*", *[c.alias(fc) for c, fc in zip(conds, flag_cols)]
+        )
+        any_match = F.lit(False)
+        for fc in flag_cols:
+            any_match = any_match | F.col(fc)
+        unlimited = flagged.filter(~any_match).drop(*flag_cols)
+        limited = flagged.filter(any_match)
+        survivors = limited
+        for i, b in enumerate(budgets):
+            m = survivors.filter(F.col(flag_cols[i]))
+            nm = survivors.filter(~F.col(flag_cols[i]))
+            # partition by the match flag itself: constant-true within `m`
+            # (one logical partition, like the reference's one bucket per
+            # rule) but NON-FOLDABLE, so Catalyst keeps it a real window
+            # partition and InferWindowGroupLimit still prunes map-side
+            # (a literal partition key would fold to a partition-less
+            # window and skip the pushdown).
+            w = Window.partitionBy(flag_cols[i]).orderBy(*order_cols)
+            m = (
+                m.withColumn("_rk", F.row_number().over(w))
+                # rank <= LITERAL → InferWindowGroupLimit map-side prune
+                .filter(F.col("_rk") <= F.lit(b))
+                .drop("_rk")
+            )
+            survivors = m.unionByName(nm)
+        admitted = survivors.drop(*flag_cols)
+        # admitted ≤ Σ budgets (every admitted row sits within its first
+        # matching rule's budget) — a driver-known bound, so broadcast the
+        # anti-join probe when small; huge configured budgets fall back to
+        # AQE picking the strategy.
+        adm_seqs = admitted.select(F.col("seq").alias("_a_seq"))
+        if sum(budgets) <= 4_000_000:
+            adm_seqs = F.broadcast(adm_seqs)
+        deferred = limited.drop(*flag_cols).join(
+            adm_seqs, F.col("seq") == F.col("_a_seq"), "left_anti"
+        )
+        return unlimited.unionByName(admitted), deferred
+
+    expr = None
+    bexpr = None
+    for i, (cond, b) in enumerate(zip(conds, budgets)):
+        bl = F.lit(b)
         expr = F.when(cond, F.lit(i)) if expr is None else expr.when(cond, F.lit(i))
-        bexpr = F.when(cond, b) if bexpr is None else bexpr.when(cond, b)
+        bexpr = F.when(cond, bl) if bexpr is None else bexpr.when(cond, bl)
     rule_id = expr.otherwise(F.lit(-1))
     budget = bexpr.otherwise(F.lit(None))
 
@@ -224,7 +300,7 @@ def rule_budget(
     # ≤ cap rows per input partition BEFORE the shuffle), exactly like the
     # engine's host-budget window (budget_per_host budget_cap). The exact
     # per-rule compare then runs on the ≤ cap survivors.
-    cap = max(max(1, int(n * round_seconds)) for _, _, n in rules)
+    cap = max(budgets)
     w = Window.partitionBy("_rule").orderBy(*order_cols)
     ranked = limited.withColumn("_rk", F.row_number().over(w)).filter(
         F.col("_rk") <= F.lit(cap)

@@ -477,6 +477,7 @@ def pack_plan(
     text_col: str = "text",
     group_col: str = "source",
     shard_size: int = 1 << 20,
+    broadcast_offsets: bool = True,
 ) -> DataFrame:
     """Concat-and-chunk sequence-packing plan for LM pretraining: documents
     are concatenated in deterministic (group, doc_id) order and split into
@@ -499,6 +500,13 @@ def pack_plan(
     Integer sums decompose exactly, so the output is bit-identical to the
     single-window form (and to the SQL oracle). Token counts use the
     BPE-ish TOKEN_PATTERN, so the plan is exactly reproducible in SQL.
+
+    ``broadcast_offsets`` (default True) assumes DENSE doc_ids: the offsets
+    table then holds ~max_doc_id/shard_size rows per group — tiny. With
+    SPARSE hash-like doc_ids the shards approach one per document and the
+    forced broadcast would OOM the driver; pass False so AQE picks the
+    join strategy from the offsets table's runtime size instead (the big
+    side still avoids a full shuffle when AQE converts to broadcast).
     """
     from pyspark.sql import Window
 
@@ -526,9 +534,11 @@ def pack_plan(
         "_shard",
         F.coalesce(F.sum("_shard_tot").over(w_shard), F.lit(0)).alias("_shard_off"),
     )
+    if broadcast_offsets:
+        offsets = F.broadcast(offsets)
     return (
         t.withColumn("_local_cum", local_cum)
-        .join(F.broadcast(offsets), [group_col, "_shard"])
+        .join(offsets, [group_col, "_shard"])
         .withColumn("cum_before", F.col("_shard_off") + F.col("_local_cum"))
         .select(
             "doc_id",

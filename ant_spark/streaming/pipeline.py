@@ -129,6 +129,18 @@ def stream_sessionize(
     per-key state the built-in windowed aggs can't express — state is
     Arrow-batched per key, never per-row Python. Sessions still open at
     shutdown stay in the state store (resume via checkpoint).
+
+    Watermark-vs-gap semantics (deliberate deviation from pure gap
+    semantics, for crash avoidance): the state store rejects a timeout
+    at/behind the current watermark, so a session whose ``last + gap``
+    deadline already trails the watermark is FORCE-CLOSED — either emitted
+    immediately (``last + gap <= wm``) or timed out at the next watermark
+    advance (timeout clamped to ``wm + 1``). Consequence: a late-but-
+    within-watermark event for the same host arriving in a later batch
+    starts a NEW session rather than extending the force-closed one, where
+    un-clamped gap semantics would have merged them. This only affects
+    hosts whose events arrive out of order across micro-batches by more
+    than the watermark delay minus the gap.
     """
     import pandas as pd
     from pyspark.sql.streaming.state import GroupStateTimeout

@@ -29,6 +29,64 @@ def test_rule_budget_pattern_and_regexp(spark):
     assert sorted(r["seq"] for r in deferred.collect()) == [2, 3, 4, 5, 103]
 
 
+def test_rule_budget_overlapping_rules_exact(spark):
+    """mode='all' (default) reproduces the reference's serial multi-bucket
+    acquisition (limiters.go:44-88): a row must fit within EVERY matching
+    rule's budget, and a row deferred at rule j still consumed tokens of
+    rules < j. Rows: x0,y0,x1,y1,... interleaved by seq; rule 0 (all of
+    a.test, budget 5) admits seq 0-4 = x0,y0,x1,y1,x2; rule 1 (x/* only,
+    budget 2) keeps x0,x1 of the survivors → x2 (seq 4) deferred."""
+    from ant_spark.operators.politeness import rule_budget
+
+    rows = []
+    for i in range(10):
+        sub = "x" if i % 2 == 0 else "y"
+        rows.append((f"http://a.test/{sub}/{i // 2}", i, "a.test", i))
+    fr = spark.createDataFrame(rows, "url string, url_hash long, host string, seq long")
+    admitted, deferred = rule_budget(
+        fr,
+        [("regexp", "a\\.test/", 5), ("pattern", "a.test/x/*", 2)],
+        round_seconds=1.0,
+    )
+    assert sorted(r["seq"] for r in admitted.collect()) == [0, 1, 2, 3]
+    assert sorted(r["seq"] for r in deferred.collect()) == [4, 5, 6, 7, 8, 9]
+
+
+def test_rule_budget_full_overlap_is_min(spark):
+    """Two rules matching every row: the admitted count equals the MIN of
+    the budgets (each bucket binds independently)."""
+    from ant_spark.operators.politeness import rule_budget
+
+    rows = [(f"http://a.test/p/{i}", i, "a.test", i) for i in range(20)]
+    fr = spark.createDataFrame(rows, "url string, url_hash long, host string, seq long")
+    admitted, deferred = rule_budget(
+        fr,
+        [("regexp", "a\\.test/", 7), ("regexp", "a\\.test/p", 3)],
+        round_seconds=1.0,
+    )
+    assert sorted(r["seq"] for r in admitted.collect()) == [0, 1, 2]
+    assert deferred.count() == 17
+    # first_match mode keeps the single-window simplification: only the
+    # first rule tags, so its budget (7) decides alone
+    adm_fm, _ = rule_budget(
+        fr,
+        [("regexp", "a\\.test/", 7), ("regexp", "a\\.test/p", 3)],
+        round_seconds=1.0,
+        mode="first_match",
+    )
+    assert adm_fm.count() == 7
+
+
+def test_rule_budget_requires_seq(spark):
+    from ant_spark.operators.politeness import rule_budget
+
+    fr = spark.createDataFrame(
+        [("http://a.test/x", 1, "a.test")], "url string, url_hash long, host string"
+    )
+    with pytest.raises(ValueError, match="seq"):
+        rule_budget(fr, [("pattern", "a.test/*", 1)], 1.0)
+
+
 def test_rule_budget_capped_window_pushdown(spark):
     """The per-rule budget window carries a foldable cap (max over the
     driver-known rule budgets) so InferWindowGroupLimit prunes a skewed rule

@@ -171,7 +171,9 @@ def test_revalidate_directives_and_vary(spark):
     assert d["u/maxage-short"] == "revalidated"  # 30min > 60s → validate
     assert d["u/maxage-long"] == "fresh"  # 10h stale globally, fresh per-row
     assert d["u/nocache"] == "replaced"  # forced validation, etag changed
-    assert d["u/vary-miss"] == "revalidated"  # fresh skipped on Vary mismatch
+    # Vary mismatch is transparent (rfc7234.go:84-86): the stored variant
+    # is unusable even for validation — full refetch, not a 304
+    assert d["u/vary-miss"] == "miss"
     assert d["u/vary-hit"] == "fresh"
 
 
