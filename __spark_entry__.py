@@ -282,6 +282,21 @@ def _q_cache_revalidate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("application/json")
         ),
     )
+    # header-freshness subset (C9 completion): Date (null → can never be
+    # fresh), Expires (lifetime = expires−date), request-side directives
+    # (bare max-stale, huge min-fresh, only-if-cached, max-age override),
+    # and an Authorization request header (cache() bypass).
+    date_h = F.when(eid % 31 != 0, F.col("ts"))
+    expires_h = F.when(
+        eid % 53 == 0, F.col("ts") + F.expr("INTERVAL 10000 SECONDS")
+    )
+    req_cc = (
+        F.when(eid % 37 == 0, F.lit("max-stale"))
+        .when(eid % 41 == 0, F.lit("min-fresh=999999999"))
+        .when(eid % 43 == 0, F.lit("only-if-cached"))
+        .when(eid % 59 == 0, F.lit("max-age=100"))
+    )
+    auth = F.when(eid % 47 == 0, F.lit("Bearer tok"))
     cached = ev.select(
         eid.cast("string").alias("url"),
         F.col("ts").alias("warc_ts"),
@@ -293,6 +308,10 @@ def _q_cache_revalidate(spark: SparkSession, sf_dir: str) -> DataFrame:
         vary.alias("vary"),
         req_h.alias("req_h"),
         resp_h.alias("resp_h"),
+        date_h.alias("date_h"),
+        expires_h.alias("expires_h"),
+        req_cc.alias("req_cc"),
+        auth.alias("auth"),
     )
     origin = ev.filter(eid % 6 != 1).select(
         eid.cast("string").alias("url"),
@@ -310,6 +329,8 @@ def _q_cache_revalidate(spark: SparkSession, sf_dir: str) -> DataFrame:
         cached, origin, F.lit(now), max_age_seconds=7200,
         cc_col="cc", vary_col="vary",
         req_headers_col="req_h", resp_headers_col="resp_h",
+        date_col="date_h", expires_col="expires_h",
+        req_cc_col="req_cc", authorization_col="auth",
     )
     return out.groupBy("decision").agg(
         F.count("*").alias("n"), F.sum("event_id").alias("id_sum")
@@ -977,7 +998,15 @@ def oracle_sql() -> dict[str, str]:
                      WHEN event_id % 29 = 0 THEN 'no-cache' END AS cc,
                 -- Vary: accept set for %23 rows; stored response header
                 -- mismatches the request for odd ids
-                (event_id % 23 = 0 AND event_id % 2 = 1) AS vary_mismatch
+                (event_id % 23 = 0 AND event_id % 2 = 1) AS vary_mismatch,
+                CASE WHEN event_id % 31 <> 0 THEN ts END AS date_h,
+                CASE WHEN event_id % 53 = 0
+                     THEN ts + INTERVAL 10000 SECONDS END AS expires_h,
+                CASE WHEN event_id % 37 = 0 THEN 'max-stale'
+                     WHEN event_id % 41 = 0 THEN 'min-fresh=999999999'
+                     WHEN event_id % 43 = 0 THEN 'only-if-cached'
+                     WHEN event_id % 59 = 0 THEN 'max-age=100' END AS req_cc,
+                CASE WHEN event_id % 47 = 0 THEN 'Bearer tok' END AS auth
               FROM events),
             origin AS (
               SELECT event_id::VARCHAR AS url,
@@ -992,18 +1021,37 @@ def oracle_sql() -> dict[str, str]:
                         THEN 'lm' || (event_id % 7)::VARCHAR END)
                   ELSE 'changed' END AS lm
               FROM events WHERE event_id % 6 <> 1),
+            -- faithful fresh() arithmetic (rfc7234.go:104-141) in epoch
+            -- seconds (microsecond-exact: epoch_us/1e6 mirrors Spark's
+            -- timestamp→double cast bit-for-bit within 2^53)
+            fr AS (
+              SELECT *,
+                (epoch_us((SELECT max(ts) FROM events))
+                  - epoch_us(date_h)) / 1000000.0 AS age_s,
+                coalesce(
+                  CASE WHEN req_cc = 'max-age=100' THEN 100.0 END,
+                  CASE WHEN cc = 'max-age=60' THEN 60.0
+                       WHEN cc = 'max-age=999999999' THEN 999999999.0 END,
+                  (epoch_us(expires_h) - epoch_us(date_h)) / 1000000.0,
+                  7200.0) AS lifetime_s,
+                coalesce(
+                  CASE WHEN req_cc = 'min-fresh=999999999'
+                       THEN 999999999.0 END, 0.0) AS min_fresh_s,
+                (req_cc = 'max-stale') AS bare_max_stale
+              FROM cached),
             dec AS (
               SELECT c.event_id,
                 CASE
+                  WHEN c.auth IS NOT NULL THEN 'bypass'
                   WHEN c.cc = 'no-store' THEN 'no_store'
                   -- Vary mismatch is transparent (rfc7234.go:84-86): the
                   -- stored variant is unusable even for validation
                   WHEN c.vary_mismatch THEN 'miss'
-                  WHEN c.warc_ts >= (SELECT max(ts) FROM events)
-                         - INTERVAL 1 SECOND * (CASE
-                             WHEN c.cc = 'max-age=60' THEN 60
-                             WHEN c.cc = 'max-age=999999999' THEN 999999999
-                             ELSE 7200 END)
+                  WHEN coalesce(c.cc, '') <> 'no-cache'
+                       AND c.req_cc = 'only-if-cached' THEN 'fresh'
+                  WHEN c.date_h IS NOT NULL
+                       AND (c.bare_max_stale
+                            OR c.lifetime_s > c.age_s + c.min_fresh_s)
                        AND coalesce(c.cc, '') <> 'no-cache' THEN 'fresh'
                   WHEN o.status IS NULL THEN 'miss'
                   WHEN o.status >= 500 AND o.status < 600 THEN 'error'
@@ -1012,7 +1060,7 @@ def oracle_sql() -> dict[str, str]:
                     OR (c.etag IS NULL AND c.lm IS NOT NULL AND c.lm = o.lm)
                     THEN 'revalidated'
                   ELSE 'replaced' END AS decision
-              FROM cached c LEFT JOIN origin o USING (url))
+              FROM fr c LEFT JOIN origin o USING (url))
             SELECT decision, count(*)::BIGINT AS n,
                    sum(event_id)::BIGINT AS id_sum
             FROM dec GROUP BY decision

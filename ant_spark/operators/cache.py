@@ -126,6 +126,10 @@ def revalidate(
     vary_col: str | None = None,
     req_headers_col: str | None = None,
     resp_headers_col: str | None = None,
+    date_col: str | None = None,
+    expires_col: str | None = None,
+    req_cc_col: str | None = None,
+    authorization_col: str | None = None,
 ) -> DataFrame:
     """RFC 7234 §4.3 verification as ONE batch left-join — the reference's
     per-request ``Cache.verify`` (antcache/httpcache.go:214-271) re-expressed
@@ -165,23 +169,96 @@ def revalidate(
       for validation, so the row is a ``miss`` (full refetch) ahead of all
       validator branches (utils.go:38-52 → rfc7234.go:84-86 → load nil).
 
+    Header-freshness inputs (all OPTIONAL; passing ANY of ``date_col`` /
+    ``expires_col`` / ``req_cc_col`` switches every row onto the FAITHFUL
+    freshness arithmetic of ``fresh()``, rfc7234.go:78-141):
+
+    - ``date_col`` (timestamp — parsed Date header): the freshness base.
+      ``age = as_of − date``; a NULL date means the stored response can
+      never be fresh (``if d, ok := date(...)`` fails → stale → validate,
+      rfc7234.go:104/138-140). When omitted in faithful mode, ``warc_ts``
+      stands in for Date (the WARC capture time IS the response time).
+    - ``expires_col`` (timestamp — parsed Expires header): freshness
+      lifetime ``expires − date`` when the response carries no ``max-age``
+      (utils.go:69-77, rfc7234.go:110-116).
+    - ``req_cc_col`` (request Cache-Control string — rfc7234.go:118-135):
+      ``max-age=N`` overrides the lifetime (beats the response's own);
+      ``min-fresh=N`` adds to the age; bare ``max-stale`` accepts any
+      staleness (fresh whenever Date is known); ``max-stale=N`` subtracts
+      from the age; ``no-cache`` forces validation; ``only-if-cached``
+      serves stored unconditionally (after the no-cache check, as in the
+      reference's order).
+      Lifetime priority: request max-age > response max-age > expires−date
+      > ``max_age_seconds``. Faithful mode compares STRICTLY
+      (``lifetime > age``, rfc7234.go:137) — the legacy default path keeps
+      its inclusive ``warc_ts >= cutoff`` predicate.
+    - ``authorization_col`` (request Authorization header): a non-empty
+      value (or a request ``no-store`` directive) makes the request
+      non-cacheable — ``cache()`` returns false (rfc7234.go:17-23) and the
+      row bypasses the cache entirely → decision ``bypass``, checked before
+      everything else.
+
     Stays a single native join + CASE expression: Catalyst broadcast-joins
     a small origin probe, or sort-merge-joins two url-bucketed tables
     shuffle-free at corpus scale.
     """
+    faithful = any(c is not None for c in (date_col, expires_col, req_cc_col))
     if cc_col is not None:
         cc = F.col(cc_col)
         no_store = cc_has(cc, "no-store")
         no_cache = cc_has(cc, "no-cache")
-        lifetime = F.coalesce(
-            cc_duration_seconds(cc, "max-age").cast("double"),
-            F.lit(float(max_age_seconds)),
-        )
-        cutoff = as_of_ts - F.make_dt_interval(secs=lifetime)
+        resp_maxage = cc_duration_seconds(cc, "max-age").cast("double")
     else:
         no_store = F.lit(False)
         no_cache = F.lit(False)
-        cutoff = as_of_ts - _age_interval(max_age_seconds)
+        resp_maxage = F.lit(None).cast("double")
+    only_if_cached = F.lit(False)
+    bypass = F.lit(False)
+    if authorization_col is not None:
+        bypass = F.coalesce(F.col(authorization_col), F.lit("")) != ""
+    if faithful:
+        # fresh() arithmetic (rfc7234.go:104-141), all in epoch seconds.
+        # unix_micros over a (session-UTC) timestamp keeps microsecond
+        # precision exactly within double's 2^53 mantissa — bit-identical
+        # to the oracle's epoch_us(ts)/1e6 (NTZ columns cast first; a
+        # direct TIMESTAMP_NTZ→DOUBLE cast is disallowed in Spark 4).
+        def _epoch_s(c: Column) -> Column:
+            return F.unix_micros(c.cast("timestamp")) / F.lit(1000000.0)
+
+        date = F.col(date_col) if date_col is not None else F.col("warc_ts")
+        age = _epoch_s(as_of_ts) - _epoch_s(date)
+        exp_life = (
+            _epoch_s(F.col(expires_col)) - _epoch_s(date)
+            if expires_col is not None
+            else F.lit(None).cast("double")
+        )
+        if req_cc_col is not None:
+            rcc = F.col(req_cc_col)
+            req_maxage = cc_duration_seconds(rcc, "max-age").cast("double")
+            min_fresh = cc_duration_seconds(rcc, "min-fresh").cast("double")
+            max_stale_n = cc_duration_seconds(rcc, "max-stale").cast("double")
+            bare_max_stale = cc_has(rcc, "max-stale") & max_stale_n.isNull()
+            only_if_cached = cc_has(rcc, "only-if-cached")
+            no_cache = no_cache | cc_has(rcc, "no-cache")
+            bypass = bypass | cc_has(rcc, "no-store")
+        else:
+            req_maxage = F.lit(None).cast("double")
+            min_fresh = F.lit(None).cast("double")
+            max_stale_n = F.lit(None).cast("double")
+            bare_max_stale = F.lit(False)
+        lifetime = F.coalesce(
+            req_maxage, resp_maxage, exp_life, F.lit(float(max_age_seconds))
+        )
+        eff_age = (
+            age
+            + F.coalesce(min_fresh, F.lit(0.0))
+            - F.coalesce(max_stale_n, F.lit(0.0))
+        )
+        is_fresh = date.isNotNull() & (bare_max_stale | (lifetime > eff_age))
+    else:
+        lifetime = F.coalesce(resp_maxage, F.lit(float(max_age_seconds)))
+        cutoff = as_of_ts - F.make_dt_interval(secs=lifetime)
+        is_fresh = F.col("warc_ts") >= cutoff
     if vary_col is not None and req_headers_col and resp_headers_col:
         vary_ok = vary_matches(
             F.col(vary_col), F.col(req_headers_col), F.col(resp_headers_col)
@@ -196,7 +273,6 @@ def revalidate(
         F.col("last_modified").alias("_o_lm"),
     )
     j = cached.join(o, "url", "left")
-    is_fresh = F.col("warc_ts") >= cutoff
     origin_missing = F.col("_o_status").isNull()
     origin_5xx = (F.col("_o_status") >= 500) & (F.col("_o_status") < 600)
     # ETag is the stronger validator: when present it alone decides
@@ -209,13 +285,19 @@ def revalidate(
         & (F.col("last_modified") == F.col("_o_lm"))
     )
     decision = (
-        F.when(no_store, F.lit("no_store"))
+        # cache() gate (rfc7234.go:17-23): Authorization / request no-store
+        # → the request never consults the cache at all
+        F.when(bypass, F.lit("bypass"))
+        .when(no_store, F.lit("no_store"))
         # RFC 7234 §4.1: a Vary selecting-header mismatch makes the stored
         # variant unusable even for validation — the reference's fresh()
         # returns ``transparent`` BEFORE any directive/validator logic
         # (rfc7234.go:84-86), load yields nil, and the client refetches in
         # full. Routed ahead of every branch below, not just ``fresh``.
         .when(~vary_ok, F.lit("miss"))
+        # reference order: the no-cache check precedes only-if-cached
+        # (rfc7234.go:94-107)
+        .when(~no_cache & only_if_cached, F.lit("fresh"))
         .when(is_fresh & ~no_cache, F.lit("fresh"))
         .when(origin_missing, F.lit("miss"))
         .when(

@@ -228,3 +228,62 @@ def test_revalidate_random_vs_reference(spark):
     )
     got = {r["url"]: r["decision"] for r in out.collect()}
     assert got == expect
+
+def test_revalidate_header_freshness(spark):
+    """C9 completion: Date/Expires freshness lifetime + request-side
+    directives (rfc7234.go:104-141) + the cache() Authorization bypass
+    (rfc7234.go:17-23)."""
+    from ant_spark.operators.cache import revalidate
+
+    mid = NOW - dt.timedelta(hours=2)  # age 2h vs default lifetime 1h
+
+    rows = [
+        # url, warc_ts, etag, date_h, expires_h, req_cc, auth
+        # Date null → can never be fresh → validates (304)
+        ("u/no-date", mid, "e1", None, None, None, None),
+        # Expires = date + 3h > 2h age → fresh despite the 1h default
+        ("u/expires-ok", mid, "e1", mid, mid + dt.timedelta(hours=3), None, None),
+        # Expires = date + 1h < 2h age → stale → validates
+        ("u/expires-old", mid, "e1", mid, mid + dt.timedelta(hours=1), None, None),
+        # bare max-stale accepts ANY staleness → fresh
+        ("u/max-stale", mid, "e1", mid, None, "max-stale", None),
+        # max-stale=7200 subtracts from age: 2h - 2h < 1h lifetime → fresh
+        ("u/max-stale-n", mid, "e1", mid, None, "max-stale=7200", None),
+        # min-fresh adds to age: needs 9h margin → stale → validates
+        ("u/min-fresh", NOW, "e1", NOW, None, "min-fresh=32400", None),
+        # request max-age beats everything: 10h allowance on a 2h age
+        ("u/req-max-age", mid, "e1", mid, None, "max-age=36000", None),
+        # only-if-cached serves stored unconditionally
+        ("u/only-cached", mid, "e1", mid, None, "only-if-cached", None),
+        # request no-store → cache() false → bypass
+        ("u/req-no-store", mid, "e1", mid, None, "no-store", None),
+        # Authorization header → cache() false → bypass
+        ("u/auth", mid, "e1", mid, None, None, "Bearer tok"),
+    ]
+    cached = spark.createDataFrame(
+        pd.DataFrame(rows, columns=[
+            "url", "warc_ts", "etag", "date_h", "expires_h", "req_cc", "auth",
+        ]),
+        schema="url string, warc_ts timestamp, etag string, "
+               "date_h timestamp, expires_h timestamp, req_cc string, "
+               "auth string",
+    ).withColumn("status", F.lit(200)).withColumn(
+        "last_modified", F.lit(None).cast("string")
+    )
+    origin = _df(spark, [(r[0], NOW, 200, r[2], None) for r in rows])
+    out = revalidate(
+        cached, origin, F.lit(NOW), max_age_seconds=3600,
+        date_col="date_h", expires_col="expires_h",
+        req_cc_col="req_cc", authorization_col="auth",
+    )
+    d = {r["url"]: r["decision"] for r in out.collect()}
+    assert d["u/no-date"] == "revalidated"
+    assert d["u/expires-ok"] == "fresh"
+    assert d["u/expires-old"] == "revalidated"
+    assert d["u/max-stale"] == "fresh"
+    assert d["u/max-stale-n"] == "fresh"
+    assert d["u/min-fresh"] == "revalidated"
+    assert d["u/req-max-age"] == "fresh"
+    assert d["u/only-cached"] == "fresh"
+    assert d["u/req-no-store"] == "bypass"
+    assert d["u/auth"] == "bypass"
