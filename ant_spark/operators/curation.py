@@ -56,12 +56,13 @@ def curate(
         T.content_flags(F.col("text")).getField("has_pii").alias("_pii"),
     )
 
-    lang_ok = enriched.filter(F.col("lang_id").isin(*langs))
-    qual_ok = lang_ok.filter(F.col("quality") >= min_quality)
+    lang_cond = F.col("lang_id").isin(*langs)
+    row_cond = lang_cond & (F.col("quality") >= min_quality)
     if max_repetition is not None:
-        qual_ok = qual_ok.filter(F.col("_rep") <= max_repetition)
+        row_cond = row_cond & (F.col("_rep") <= max_repetition)
     if drop_pii:
-        qual_ok = qual_ok.filter(~F.col("_pii"))
+        row_cond = row_cond & ~F.col("_pii")
+    qual_ok = enriched.filter(row_cond)
 
     # exact dedup: keep the lowest doc_id per fingerprint
     from pyspark.sql import Window
@@ -73,27 +74,42 @@ def curate(
         .drop("_rn")
     )
 
-    # near-dup: minhash candidates → exact jaccard → drop higher doc_id
+    # near-dup: minhash candidates → exact jaccard → drop higher doc_id.
+    # drop_ids is persisted (tiny — ids only): the LSH+Jaccard subtree is
+    # the pipeline's expensive part and both `kept` and the stats rollup
+    # reference it — whichever materializes first computes it ONCE.
     pairs = T.minhash_candidate_pairs(
         exact_kept, "text", n_hashes, n_bands, k, hash_fn
     )
     confirmed = T.jaccard_pairs(exact_kept, pairs, "text", k).filter(
         F.col("jaccard") >= jaccard_threshold
     )
-    drop_ids = confirmed.select(F.col("doc_b").alias("doc_id")).distinct()
+    drop_ids = (
+        confirmed.select(F.col("doc_b").alias("doc_id")).distinct().persist()
+    )
     kept = exact_kept.join(drop_ids, "doc_id", "left_anti").select(
         "doc_id", "lang_id", "quality", "n_tokens"
     )
 
-    def n(df):
-        return df.select(F.count("*").alias("n"))
-
-    stats = (
-        n(docs).withColumn("stage", F.lit("input"))
-        .unionByName(n(lang_ok).withColumn("stage", F.lit("lang_ok")))
-        .unionByName(n(qual_ok).withColumn("stage", F.lit("quality_ok")))
-        .unionByName(n(exact_kept).withColumn("stage", F.lit("exact_unique")))
-        .unionByName(n(kept).withColumn("stage", F.lit("kept")))
-        .select("stage", "n")
+    # Stage counts in ONE conditional aggregation over the enrichment scan —
+    # the stages are sequential filters over per-row predicates, so each
+    # count is a conditional sum (and exact_unique a conditional distinct
+    # count) instead of a separate count(*) job that would re-execute the
+    # chain up to that stage (round-3 verdict: n('kept') re-ran the whole
+    # LSH pass). kept = exact_unique − |drop_ids| exactly (drop_ids ⊆
+    # exact_kept by construction).
+    agg = enriched.agg(
+        F.count("*").alias("input"),
+        F.sum(lang_cond.cast("long")).alias("lang_ok"),
+        F.sum(row_cond.cast("long")).alias("quality_ok"),
+        F.count_distinct(F.when(row_cond, F.col("fp"))).alias("exact_unique"),
+    )
+    n_drop = drop_ids.agg(F.count("*").alias("n_dropped"))
+    stats = agg.crossJoin(n_drop).select(
+        F.expr(
+            "stack(5, 'input', input, 'lang_ok', lang_ok, "
+            "'quality_ok', quality_ok, 'exact_unique', exact_unique, "
+            "'kept', exact_unique - n_dropped) AS (stage, n)"
+        )
     )
     return kept, stats

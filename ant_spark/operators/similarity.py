@@ -275,16 +275,16 @@ def ivf_topk(
         .filter(F.col("_crk") <= nprobe)
         .select("query_id", "_qv", "cell")
     )
-    c = ivf_assign(corpus, centroids, id_col, vec_col).select(
-        F.col("id").alias("neighbor_id"), "cell"
-    )
-    cv = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")
+    # ONE corpus scan: ivf_assign carries the vector through (keep_vec), so
+    # the probe path needs no second scan + id-keyed shuffle to recover it
+    # (round-3 verdict nit). At 10^10 vectors, read the cell-partitioned
+    # table written from this same projection instead.
+    c = ivf_assign(corpus, centroids, id_col, vec_col, keep_vec=True).select(
+        F.col("id").alias("neighbor_id"), "cell", F.col("v").alias("_cv")
     )
     scored = (
         probes.join(c, "cell")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .join(cv, "neighbor_id")
         .withColumn("_sim", cosine(F.col("_qv"), F.col("_cv")))
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -307,10 +307,14 @@ def ivf_assign(
     centroids: list[list[float]],
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    keep_vec: bool = False,
 ) -> DataFrame:
     """IVF coarse quantization: assign each vector to its nearest centroid
     (literal centroid list — at scale, k-means output broadcast as literals
-    or a small joined dim). Output (id, cell, cos_to_centroid).
+    or a small joined dim). Output (id, cell, cos_to_centroid), plus the
+    vector itself as ``v`` when ``keep_vec`` (lets ivf_topk re-rank without
+    a second corpus scan — this is also the projection to WRITE when
+    materializing the cell-partitioned corpus table).
 
     Argmax is the LINEAR array formulation — sims array + array_max +
     first-index — because a when(sim > best, ...).otherwise(best) fold
@@ -330,8 +334,11 @@ def ivf_assign(
     out = out.withColumn("_sims", sims)
     best = F.array_max(F.col("_sims"))
     cell = (F.array_position(F.col("_sims"), best) - 1).cast("int")
-    return out.select(
-        "id",
+    cols = [
+        F.col("id"),
         cell.alias("cell"),
         F.round(best, 4).alias("cos_to_centroid"),
-    )
+    ]
+    if keep_vec:
+        cols.append(F.col("v"))
+    return out.select(*cols)
