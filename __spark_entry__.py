@@ -639,6 +639,21 @@ def _q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(queries, emb, _CENTROIDS, k=3, nprobe=2)
 
 
+def _q_ivf_topk_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN top-k over DATA-DRIVEN cells: the same probe path as
+    emb_ivf_topk but with k-means-trained coarse centroids (Spark-native
+    Lloyd iterations, similarity.train_centroids) frozen as literals so
+    the DuckDB oracle sees identical doubles. Trained cells track the
+    corpus density, so recall per probed candidate beats the random
+    hyperplane centroids (BENCH.md recall table)."""
+    from ant_spark.operators.ivf_trained import TRAINED_CENTROIDS
+    from ant_spark.operators.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    return ivf_topk(queries, emb, TRAINED_CENTROIDS, k=3, nprobe=2)
+
+
 def _q_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ant_spark.operators.similarity import ivf_assign
 
@@ -742,6 +757,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_lsh_topk_tables": _q_lsh_topk_tables,
         "emb_ivf_assign": _q_ivf_assign,
         "emb_ivf_topk": _q_ivf_topk,
+        "emb_ivf_topk_trained": _q_ivf_topk_trained,
         "media_frame_plan": _q_media_frame_plan,
         # non-SQL (rows-only)
         "crawl_e2e_visited": _q_crawl_e2e,
@@ -869,6 +885,16 @@ def oracle_sql() -> dict[str, str]:
     best = f"greatest({', '.join(cos_cents)})"
     cell_expr = "CASE " + " ".join(
         f"WHEN {c} = {best} THEN {i}" for i, c in enumerate(cos_cents)
+    ) + " END"
+    # trained (k-means) centroid variant — FROZEN literals, identical
+    # doubles on both sides (ant_spark/operators/ivf_trained.py)
+    from ant_spark.operators.ivf_trained import TRAINED_CENTROIDS
+
+    tcents_sql = [_vec_sql(c) for c in TRAINED_CENTROIDS]
+    tcos_cents = [_cos_sql("embedding", c) for c in tcents_sql]
+    tbest = f"greatest({', '.join(tcos_cents)})"
+    tcell_expr = "CASE " + " ".join(
+        f"WHEN {c} = {tbest} THEN {i}" for i, c in enumerate(tcos_cents)
     ) + " END"
 
     return {
@@ -1452,6 +1478,38 @@ def oracle_sql() -> dict[str, str]:
                 WHERE q.vec_id < 8) WHERE crk <= 2),
             assigned AS (
               SELECT vec_id AS neighbor_id, ({cell_expr})::INT AS cell
+              FROM embeddings),
+            scored AS (
+              SELECT p.query_id, a.neighbor_id,
+                     {_cos_sql('q.embedding', 'n.embedding')} AS sim
+              FROM probes p JOIN assigned a USING (cell)
+              JOIN embeddings q ON p.query_id = q.vec_id
+              JOIN embeddings n ON a.neighbor_id = n.vec_id
+              WHERE p.query_id <> a.neighbor_id)
+            SELECT query_id, neighbor_id, rank, round(sim, 4) AS cos_sim
+            FROM (
+              SELECT query_id, neighbor_id, sim,
+                     row_number() OVER (
+                       PARTITION BY query_id
+                       ORDER BY sim DESC, neighbor_id) AS rank
+              FROM scored) WHERE rank <= 3
+        """,
+        "emb_ivf_topk_trained": f"""
+            WITH cents AS (
+              SELECT * FROM (VALUES
+                {', '.join(f'({i}, {c})' for i, c in enumerate(tcents_sql))}
+              ) AS t(cell, cvec)),
+            probes AS (
+              SELECT query_id, cell FROM (
+                SELECT q.vec_id AS query_id, c.cell,
+                       row_number() OVER (
+                         PARTITION BY q.vec_id
+                         ORDER BY {_cos_sql('q.embedding', 'c.cvec')} DESC,
+                                  c.cell) AS crk
+                FROM embeddings q CROSS JOIN cents c
+                WHERE q.vec_id < 8) WHERE crk <= 2),
+            assigned AS (
+              SELECT vec_id AS neighbor_id, ({tcell_expr})::INT AS cell
               FROM embeddings),
             scored AS (
               SELECT p.query_id, a.neighbor_id,

@@ -302,6 +302,68 @@ def ivf_topk(
     )
 
 
+def train_centroids(
+    corpus: DataFrame,
+    n_cells: int,
+    n_iter: int = 5,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_fraction: float | None = None,
+) -> list[list[float]]:
+    """Spark-native Lloyd k-means for data-driven IVF coarse centroids.
+
+    Each iteration is ONE distributed pass: assign every vector to its
+    nearest current centroid (``ivf_assign`` — the linear-array argmax,
+    all codegen, centroids shipped as literals), then recompute cell means
+    with a single map-side-combinable groupBy-agg (``posexplode(v)`` →
+    ``avg`` per (cell, dim)). Only the k·dim centroid floats ever reach
+    the driver — no driver-side loop touches corpus rows. Initialization
+    is deterministic (seeded ``make_hyperplanes``); empty cells keep their
+    previous centroid.
+
+    Scale: cost is ``n_iter`` corpus scans; at 10^10 vectors pass
+    ``sample_fraction`` — coarse centroids only need the density shape,
+    and k-means on a uniform sample converges to the same cells. The
+    returned list plugs straight into ``ivf_assign``/``ivf_topk`` (and,
+    frozen as literals, into the SQL oracle).
+
+    NOTE: distributed float ``avg`` is not bit-deterministic across
+    partitionings — freeze (round + commit) trained centroids before
+    using them in an oracle-checked query (tools/train_ivf.py).
+    """
+    df = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    if sample_fraction is not None:
+        df = df.sample(fraction=sample_fraction, seed=seed)
+    head = df.select(F.size("v").alias("d")).first()
+    if head is None:
+        raise ValueError("train_centroids: empty corpus")
+    dim = int(head["d"])
+    cents = make_hyperplanes(dim, n_cells, seed)
+    df = df.persist()
+    try:
+        for _ in range(n_iter):
+            assigned = ivf_assign(df, cents, id_col="id", vec_col="v", keep_vec=True)
+            means = (
+                assigned.select("cell", F.posexplode("v").alias("pos", "val"))
+                .groupBy("cell", "pos")
+                .agg(F.avg("val").alias("m"))
+                .collect()
+            )
+            by_cell: dict[int, dict[int, float]] = {}
+            for r in means:
+                by_cell.setdefault(r["cell"], {})[r["pos"]] = r["m"]
+            cents = [
+                [float(by_cell[c][p]) for p in range(dim)]
+                if c in by_cell
+                else list(cents[c])
+                for c in range(n_cells)
+            ]
+    finally:
+        df.unpersist()
+    return cents
+
+
 def ivf_assign(
     corpus: DataFrame,
     centroids: list[list[float]],

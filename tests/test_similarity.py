@@ -93,3 +93,56 @@ def test_ivf_assignment_deterministic(spark, vectors):
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
     cells = {r["cell"] for r in a}
     assert cells <= {0, 1, 2} and len(cells) > 1
+
+
+def test_train_centroids_recovers_planted_clusters(spark):
+    """Lloyd k-means (train_centroids) on three well-separated planted
+    clusters: every cluster's members land in one cell together, and each
+    trained centroid sits closer (cosine) to its cluster mean than any
+    random-hyperplane centroid did."""
+    from ant_spark.operators.similarity import train_centroids
+
+    rng = np.random.default_rng(11)
+    # orthogonal cluster directions: maximal cosine separation, so Lloyd
+    # convergence to the 3-way split is robust to the seeded init
+    means = [np.eye(DIM)[i] * 4 for i in (0, 3, 6)]
+    rows = []
+    for ci, m in enumerate(means):
+        for j in range(30):
+            v = m + 0.1 * rng.standard_normal(DIM)
+            rows.append((ci * 100 + j, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = train_centroids(df, n_cells=3, n_iter=6, seed=3)
+    assert len(cents) == 3 and len(cents[0]) == DIM
+    assign = {r["id"]: r["cell"] for r in ivf_assign(df, cents).collect()}
+    # each planted cluster maps to exactly one cell
+    cluster_cells = [
+        {assign[ci * 100 + j] for j in range(30)} for ci in range(3)
+    ]
+    assert all(len(cc) == 1 for cc in cluster_cells), cluster_cells
+    # and the three clusters occupy three distinct cells
+    assert len(set().union(*cluster_cells)) == 3
+
+    def cos(a, b):
+        a, b = np.asarray(a), np.asarray(b)
+        return float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+    for m in means:
+        assert max(cos(m, c) for c in cents) > 0.99
+
+
+def test_train_centroids_deterministic_and_empty_cell_safe(spark):
+    """Same data + seed → identical centroids; k larger than the natural
+    cluster count keeps unclaimed cells at their previous (init) value
+    instead of crashing."""
+    from ant_spark.operators.similarity import train_centroids
+
+    rng = np.random.default_rng(2)
+    rows = [(i, [float(x) for x in rng.standard_normal(DIM)]) for i in range(12)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    a = train_centroids(df, n_cells=8, n_iter=2, seed=9)
+    b = train_centroids(df, n_cells=8, n_iter=2, seed=9)
+    # determinism here is single-partition (12 rows); at scale freeze the
+    # output (tools/train_ivf.py) before oracle use
+    assert a == b
+    assert len(a) == 8
