@@ -77,6 +77,45 @@ def main() -> None:
     timings["crawl"] = round(crawl_sec, 3)
     urls_per_sec = res.pages_fetched / crawl_sec if crawl_sec > 0 else 0.0
 
+    # --- cluster-scale round shape, first-class benched: the SAME crawl
+    # through pages_table + state_backend='bucketed' — BOTH big joins
+    # (fetch and seen anti-join) storage-partitioned with zero Exchanges
+    # (tools/bucketed_fetch_ab.py is the plan proof; this records its
+    # wall-clock round-over-round so a regression in the 100 TB mode shows
+    # up in BENCH_r{N}, not only in the A/B tool). One-time corpus
+    # staging cost reported separately.
+    import tempfile
+
+    pt_dir = tempfile.mkdtemp(prefix="ant_bench_pages_")
+    t0 = time.time()
+    Engine.create_pages_table(
+        spark, pages, "ant_bench_pages", os.path.join(pt_dir, "tbl"), buckets=32
+    )
+    pages_table_sec = time.time() - t0
+    t0 = time.time()
+    res_b = Engine(
+        spark,
+        pages,
+        robots,
+        CrawlConfig(
+            ordering="partitioned",
+            max_rounds=64,
+            pages_table="ant_bench_pages",
+            fetch_buckets=32,
+            state_backend="bucketed",
+        ),
+    ).run(seeds)
+    crawl_b_sec = time.time() - t0
+    timings["crawl_bucketed"] = round(crawl_b_sec, 3)
+    urls_b_per_sec = res_b.pages_fetched / crawl_b_sec if crawl_b_sec > 0 else 0.0
+    spark.sql("DROP TABLE IF EXISTS ant_bench_pages")
+    if res_b.pages_fetched != res.pages_fetched:
+        print(
+            f"WARN: bucketed crawl fetched {res_b.pages_fetched} pages "
+            f"vs plain {res.pages_fetched}",
+            file=sys.stderr,
+        )
+
     # --- operator queries over the SF tables -----------------------------
     qs = entrymod.queries()
     bench_queries = [
@@ -123,6 +162,9 @@ def main() -> None:
                 "crawl_urls_per_sec": round(urls_per_sec, 1),
                 "crawl_pages_fetched": res.pages_fetched,
                 "crawl_rounds": res.rounds,
+                "crawl_bucketed_urls_per_sec": round(urls_b_per_sec, 1),
+                "crawl_bucketed_rounds": res_b.rounds,
+                "pages_table_stage_sec": round(pages_table_sec, 3),
                 "cpus": cpus,
             }
         )
