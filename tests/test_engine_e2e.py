@@ -288,3 +288,45 @@ def test_bucketed_seen_table_compaction(spark, tmp_path):
     urls = [r["url"] for r in res.fetched_log.collect()]
     assert sorted(set(urls)) == sorted(urls)
     assert set(urls) == set(pages_pdf.url)
+
+
+def test_bucketed_both_crash_between_stage_and_commit(spark, tmp_path):
+    """The full cluster-scale mode (pages_table fetch bucketing AND bucketed
+    seen backend — zero Exchanges on both big joins) killed BETWEEN a
+    round's staged writes and its manifest commit: the crashed round leaves
+    admitted_staged/links_staged dirs, an orphan seen-table append tagged
+    with the uncommitted round, and an uncommitted fetched_log. Resume must
+    restart from the last MANIFEST, deterministically re-run the round over
+    the orphans (overwriting the staged tables; the seen read filters
+    round <= committed so the orphan append is invisible until the
+    identical delta recommits over it) and stay exactly-once."""
+    import os
+
+    cfg = GraphConfig(n_pages=60, n_hosts=3, crawl_delay_hosts=0,
+                      robots_disallow_hosts=0, flaky_every=0)
+    pages_pdf, robots_pdf, seeds = generate(cfg)
+    pages = spark.createDataFrame(pages_pdf, schema=schemas.PAGES)
+    Engine.create_pages_table(
+        spark, pages, "t_pages_cb", str(tmp_path / "pages_tbl"), buckets=4
+    )
+
+    ckpt = str(tmp_path / "cb")
+    ecfg = dict(checkpoint_dir=ckpt, state_backend="bucketed",
+                pages_table="t_pages_cb", fetch_buckets=4,
+                state_partitions=4)
+    eng = Engine(spark, None, None, CrawlConfig(max_rounds=3, **ecfg))
+    eng.run(seeds)
+    r_last, _ = eng.latest_round(ckpt)
+    # simulate the crash window: all of round r_last's state (staged
+    # bucketed tables, seen append, fetched_log) is on disk, but the
+    # manifest never committed
+    os.remove(os.path.join(ckpt, f"round={r_last:05d}", "MANIFEST.json"))
+    assert os.path.isdir(
+        os.path.join(ckpt, f"round={r_last:05d}", "admitted_staged")
+    )  # the orphan staged fetch table the resumed round must overwrite
+
+    res = Engine(spark, None, None, CrawlConfig(max_rounds=50, **ecfg)).run(
+        seeds, resume=True)
+    urls = [r["url"] for r in res.fetched_log.collect()]
+    assert sorted(set(urls)) == sorted(urls)  # exactly-once despite orphans
+    assert set(urls) == set(pages_pdf.url)  # full coverage after resume
