@@ -10,8 +10,14 @@ that are NOT available in this container, so they are stubbed two ways:
   tiny header our synthetic generator writes and fabricates features from
   byte statistics. Everything around it (schema, batching, partitioning,
   UDF signatures) is the real production plumbing and IS tested.
-- ``decoder="real"``: raises NotImplementedError with the dependency story
-  (pillow/av/soundfile), marking exactly where the real kernel drops in.
+- ``decoder="real"``: a pure-numpy UNCOMPRESSED image decoder — binary PPM
+  (P6), PGM (P5) and 24-bit uncompressed BMP — so the "real" seam is
+  executable without pillow: decode to grayscale in [0,1], then the same
+  chunk-mean feature recipe. Compressed codecs (JPEG/PNG/audio/video)
+  raise NotImplementedError naming the missing dependency
+  (pillow/av/soundfile) — or yield empty features with
+  ``on_unsupported="skip"``, the 100 TB-job-safe mode where one JPEG row
+  must not kill the stage.
 
 Reference tie-in: ant has no media path; this extends the engine for the
 training-data-pipeline requirements (multimodal columns, stubbed decode).
@@ -104,22 +110,121 @@ def _fake_decode(payload: bytes, dim: int) -> list[float]:
     return [float(np.round(c.mean() / 255.0, 6)) if len(c) else 0.0 for c in chunks]
 
 
+def _pnm_decode(payload: bytes) -> "np.ndarray | None":
+    """Binary PPM (P6, RGB) / PGM (P5, gray) → float32 grayscale in [0,1].
+    Returns None when the payload is not a parseable 8-bit PNM."""
+    magic = payload[:2]
+    if magic not in (b"P5", b"P6"):
+        return None
+    toks: list[bytes] = []
+    i, n = 2, len(payload)
+    while len(toks) < 3 and i < n:
+        c = payload[i : i + 1]
+        if c in (b" ", b"\t", b"\r", b"\n"):
+            i += 1
+        elif c == b"#":  # comment to end of line
+            j = payload.find(b"\n", i)
+            i = n if j < 0 else j + 1
+        else:
+            j = i
+            while j < n and payload[j : j + 1] not in (b" ", b"\t", b"\r", b"\n"):
+                j += 1
+            toks.append(payload[i:j])
+            i = j
+    if len(toks) < 3:
+        return None
+    try:
+        w, h, maxval = (int(t) for t in toks)
+    except ValueError:
+        return None
+    if w <= 0 or h <= 0 or not 0 < maxval < 256:  # 16-bit PNM unsupported
+        return None
+    ch = 3 if magic == b"P6" else 1
+    start = i + 1  # exactly one whitespace byte between maxval and raster
+    need = w * h * ch
+    if len(payload) < start + need:
+        return None
+    arr = np.frombuffer(payload, np.uint8, count=need, offset=start)
+    gray = arr.reshape(h, w, ch).astype(np.float32).mean(axis=2)
+    return gray / float(maxval)
+
+
+def _bmp24_decode(payload: bytes) -> "np.ndarray | None":
+    """Uncompressed 24-bit BMP (BITMAPINFOHEADER, BI_RGB) → float32
+    grayscale in [0,1]. Returns None for other depths/compressions."""
+    if payload[:2] != b"BM" or len(payload) < 54:
+        return None
+    off = struct.unpack_from("<I", payload, 10)[0]
+    hdr = struct.unpack_from("<I", payload, 14)[0]
+    if hdr < 40:
+        return None
+    w, h_signed = struct.unpack_from("<ii", payload, 18)
+    bpp = struct.unpack_from("<H", payload, 28)[0]
+    comp = struct.unpack_from("<I", payload, 30)[0]
+    if bpp != 24 or comp != 0 or w <= 0 or h_signed == 0:
+        return None
+    h = abs(h_signed)
+    row_bytes = (w * 3 + 3) & ~3  # rows padded to 4-byte boundaries
+    if len(payload) < off + row_bytes * h:
+        return None
+    rows = np.frombuffer(
+        payload, np.uint8, count=row_bytes * h, offset=off
+    ).reshape(h, row_bytes)[:, : w * 3]
+    img = rows.reshape(h, w, 3).astype(np.float32)
+    if h_signed > 0:  # positive height = bottom-up row order
+        img = img[::-1]
+    return img.mean(axis=2) / 255.0
+
+
+def _real_decode(payload: bytes, dim: int, on_unsupported: str = "error") -> list[float]:
+    """The executable 'real' kernel: pure-numpy uncompressed decode
+    (PPM/PGM/BMP), then the chunk-mean feature recipe over grayscale."""
+    if payload is None or len(payload) < 2:
+        return []
+    gray = None
+    if payload[:2] in (b"P5", b"P6"):
+        gray = _pnm_decode(payload)
+    elif payload[:2] == b"BM":
+        gray = _bmp24_decode(payload)
+    if gray is None:
+        if on_unsupported == "skip":
+            return []
+        raise NotImplementedError(
+            f"unsupported/compressed media payload (magic {payload[:4]!r}): "
+            "the pure-numpy real decoder covers uncompressed PPM/PGM/BMP "
+            "only; JPEG/PNG need pillow, audio needs soundfile, video needs "
+            "av — none available in this container. Pass "
+            "on_unsupported='skip' to yield empty features instead."
+        )
+    flat = gray.astype(np.float32).ravel()
+    if flat.size == 0:
+        return [0.0] * dim
+    chunks = np.array_split(flat, dim)
+    return [
+        float(np.round(c.mean(), 6)) if len(c) else 0.0 for c in chunks
+    ]
+
+
 def extract_features(
-    media: DataFrame, dim: int = 8, decoder: str = "fake"
+    media: DataFrame,
+    dim: int = 8,
+    decoder: str = "fake",
+    on_unsupported: str = "error",
 ) -> DataFrame:
     """Arrow-batched decode/feature stage over the payload binary column.
 
     Production shape: mapInPandas over batches; per-batch numpy work; output
-    schema fixed (MEDIA_FEATURES). Swap ``_fake_decode`` for a real pillow /
-    libav kernel via decoder="real" when the codecs are installed.
+    schema fixed (MEDIA_FEATURES). ``decoder="real"`` runs the pure-numpy
+    uncompressed kernel (``_real_decode``: PPM/PGM/BMP); compressed codecs
+    raise NotImplementedError (or skip to empty features with
+    ``on_unsupported="skip"`` — at 100 TB one undecodable row must not kill
+    the stage). A pillow/libav kernel drops into the same seam.
     """
     if decoder == "real":
-        raise NotImplementedError(
-            "real media decode needs pillow/av/soundfile — not available in "
-            "this container; the Spark plumbing is identical, only the "
-            "per-batch kernel changes (see _fake_decode)."
-        )
-    if decoder != "fake":
+        kernel = lambda p: _real_decode(p, dim, on_unsupported)  # noqa: E731
+    elif decoder == "fake":
+        kernel = lambda p: _fake_decode(p, dim)  # noqa: E731
+    else:
         raise ValueError(f"unknown decoder {decoder!r}")
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -131,7 +236,7 @@ def extract_features(
                     "n_bytes": b["payload"].map(
                         lambda p: len(p) if p is not None else 0
                     ),
-                    "feature": b["payload"].map(lambda p: _fake_decode(p, dim)),
+                    "feature": b["payload"].map(kernel),
                 }
             )
 

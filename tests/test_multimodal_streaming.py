@@ -21,10 +21,58 @@ def test_media_features_stub(spark):
         assert all(0.0 <= x <= 1.0 for x in r["feature"])
 
 
-def test_media_real_decoder_is_marked_stub(spark):
-    media = spark.createDataFrame(synth_media(1), schema=MEDIA)
-    with pytest.raises(NotImplementedError):
-        extract_features(media, decoder="real")
+def test_media_real_decoder_uncompressed_golden(spark):
+    """decoder='real' is EXECUTABLE on uncompressed formats via pure numpy:
+    a binary PPM (P6) and a bottom-up 24-bit BMP with known pixels yield
+    exact chunk-mean grayscale features through the full mapInPandas
+    plumbing; compressed payloads (JPEG magic) still raise
+    NotImplementedError naming pillow, or skip with on_unsupported."""
+    import struct
+
+    import numpy as np
+
+    from ant_spark.operators.multimodal import _real_decode
+
+    # P6 4x2: row0 = black,black,white,white; row1 = four mid-grays (128)
+    px = bytes([0, 0, 0] * 2 + [255, 255, 255] * 2 + [128, 128, 128] * 4)
+    ppm = b"P6\n# comment\n4 2\n255\n" + px
+    # BMP 2x1 24-bit bottom-up: one blue-ish + one white pixel (BGR order),
+    # row padded to 4-byte multiple (2*3=6 -> pad 2)
+    bmp_px = bytes([255, 0, 0, 255, 255, 255]) + b"\x00\x00"
+    bmp = (
+        b"BM" + struct.pack("<IHHI", 54 + len(bmp_px), 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, 2, 1, 1, 24, 0, len(bmp_px), 0, 0, 0, 0)
+        + bmp_px
+    )
+    # kernel goldens (grayscale chunk means)
+    assert _real_decode(ppm, 2) == [
+        pytest.approx(np.float32(255 + 255) / 4 / 255, abs=1e-6),  # [0,0,255,255]/4
+        pytest.approx(128.0 / 255, abs=1e-6),
+    ]
+    assert _real_decode(bmp, 2) == [
+        pytest.approx(255.0 / 3 / 255, abs=1e-6),  # mean(BGR 255,0,0)/255
+        pytest.approx(1.0, abs=1e-6),
+    ]
+    # full Spark plumbing over the real kernel
+    rows = [(0, "image", "image/x-portable-pixmap", 4, 2, None, ppm),
+            (1, "image", "image/bmp", 2, 1, None, bmp)]
+    media = spark.createDataFrame(rows, schema=MEDIA)
+    feats = {r["media_id"]: r for r in
+             extract_features(media, dim=2, decoder="real").collect()}
+    assert feats[0]["feature"] == pytest.approx([0.5, 128.0 / 255], abs=1e-6)
+    assert feats[1]["feature"] == pytest.approx([255.0 / 3 / 255, 1.0], abs=1e-6)
+    # compressed magic: error by default (naming the dependency)...
+    with pytest.raises(NotImplementedError, match="pillow"):
+        _real_decode(b"\xff\xd8\xff\xe0fakejpeg", 2)
+    # ...and skip mode yields empty features (the 100 TB-safe path)
+    jpeg_media = spark.createDataFrame(
+        [(2, "image", "image/jpeg", 1, 1, None, b"\xff\xd8\xff\xe0fakejpeg")],
+        schema=MEDIA,
+    )
+    out = extract_features(
+        jpeg_media, dim=2, decoder="real", on_unsupported="skip"
+    ).collect()
+    assert out[0]["feature"] == []
 
 
 def test_frame_sample_plan(spark):
