@@ -639,6 +639,33 @@ def _q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(queries, emb, _CENTROIDS, k=3, nprobe=2)
 
 
+def _q_sample_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified pretraining-mix sampler: exact per-source
+    quotas picked by seeded-hash order (reproducible under repartitioning;
+    the quota literals fire InferWindowGroupLimit map-side pruning).
+    src2's quota exceeds its group size — the whole group is kept."""
+    from ant_spark.operators.textops import sample_mix
+
+    docs = _t(spark, sf_dir, "documents")
+    out = sample_mix(
+        docs, {"src0": 10, "src1": 3, "src2": 40}, seed=42, hash_fn="md5"
+    )
+    return out.select("doc_id", "source")
+
+
+def _q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (GPT-3-style n-gram overlap): flag corpus
+    docs sharing >= 2 distinct 3-grams with a benchmark set (every 41st
+    doc); the benchmark gram set broadcasts, the corpus never shuffles
+    wider than (doc_id, count)."""
+    from ant_spark.operators.textops import decontaminate
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 41 == 0)
+    out = decontaminate(docs, bench, k=3, threshold=2)
+    return out.filter(F.col("contaminated")).select("doc_id", "n_contaminated")
+
+
 def _q_ivf_topk_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN top-k over DATA-DRIVEN cells: the same probe path as
     emb_ivf_topk but with k-means-trained coarse centroids (Spark-native
@@ -750,6 +777,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_minhash_lsh_pairs": _q_minhash_lsh_pairs,
         "text_curation_pipeline": _q_curation,
         "text_curation_full": _q_curation_full,
+        "text_sample_mix": _q_sample_mix,
+        "text_decontaminate": _q_decontaminate,
         # similarity search
         "emb_cosine_topk": _q_cosine_topk,
         "emb_lsh_bucket": _q_lsh_bucket,
@@ -1401,6 +1430,31 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, lang_id, quality, n_tokens
             FROM exact_kept
             WHERE doc_id NOT IN (SELECT db FROM conf)
+        """,
+        "text_sample_mix": """
+            SELECT doc_id, source FROM (
+              SELECT doc_id, source,
+                     row_number() OVER (
+                       PARTITION BY source
+                       ORDER BY md5('42:' || doc_id::VARCHAR), doc_id) AS rk,
+                     CASE source WHEN 'src0' THEN 10 WHEN 'src1' THEN 3
+                                 WHEN 'src2' THEN 40 END AS q
+              FROM documents
+              WHERE source IN ('src0', 'src1', 'src2'))
+            WHERE rk <= q
+        """,
+        "text_decontaminate": f"""
+            WITH bench AS (
+              SELECT DISTINCT gram FROM (
+                SELECT unnest({_SHINGLES_SQL}) AS gram
+                FROM documents WHERE doc_id % 41 = 0)),
+            dg AS (
+              SELECT doc_id, unnest(list_distinct({_SHINGLES_SQL})) AS gram
+              FROM documents),
+            hits AS (
+              SELECT doc_id, count(*)::BIGINT AS n_contaminated
+              FROM dg JOIN bench USING (gram) GROUP BY doc_id)
+            SELECT doc_id, n_contaminated FROM hits WHERE n_contaminated >= 2
         """,
         "emb_cosine_topk": f"""
             SELECT query_id, neighbor_id, rank, round(sim, 4) AS cos_sim FROM (

@@ -637,3 +637,111 @@ def winnow_fingerprints(
         .select("doc_id", F.col("wmin").alias("fp"))
         .distinct()
     )
+
+
+def sample_mix(
+    docs: DataFrame,
+    quotas: dict[str, int],
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    seed: int = 42,
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """Deterministic stratified sampling for pretraining data mixes: keep
+    exactly ``min(quota, group_size)`` documents per group, chosen by a
+    seeded hash order over the id — reproducible, independent of ingest
+    order and partitioning, and exact (not Bernoulli ``sample()``, whose
+    per-group counts drift). Groups absent from ``quotas`` are dropped
+    (the mix is an explicit allowlist).
+
+    Scale shape: one ranked window per group, ordered by the seeded hash.
+    Per-group quotas are driver-known literals, so the max quota is a
+    FOLDABLE cap — the ``rank <= literal`` conjunct fires Catalyst's
+    InferWindowGroupLimit and every group is pruned map-side to ≤ cap rows
+    BEFORE the shuffle (the politeness-budget-window trick; a 10^10-row
+    web group never materializes in one window partition). The exact
+    per-group quota then applies to the ≤ cap survivors.
+
+    ``hash_fn='md5'`` keeps the pick order reproducible in the SQL oracle;
+    ``'xxhash64'`` is the cheaper scale mode (same operator shape).
+    """
+    from pyspark.sql import Window
+
+    if not quotas:
+        return docs.filter(F.lit(False))
+    if hash_fn == "md5":
+        order = F.md5(
+            F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string"))
+        )
+    elif hash_fn == "xxhash64":
+        order = F.xxhash64(F.lit(seed), F.col(id_col))
+    else:
+        raise ValueError(f"unknown hash_fn {hash_fn!r}")
+    qcol = None
+    for g, q in quotas.items():
+        cond = F.col(group_col) == F.lit(g)
+        lit_q = F.lit(int(q))
+        qcol = F.when(cond, lit_q) if qcol is None else qcol.when(cond, lit_q)
+    tagged = docs.withColumn("_q", qcol.otherwise(F.lit(None))).filter(
+        F.col("_q").isNotNull()
+    )
+    cap = max(int(q) for q in quotas.values())
+    w = Window.partitionBy(group_col).orderBy(order, F.col(id_col))
+    return (
+        tagged.withColumn("_rk", F.row_number().over(w))
+        # literal conjunct → InferWindowGroupLimit map-side prune
+        .filter(F.col("_rk") <= F.lit(cap))
+        .filter(F.col("_rk") <= F.col("_q"))
+        .drop("_rk", "_q")
+    )
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    k: int = 13,
+    threshold: int = 1,
+    text_col: str = "text",
+    bench_text_col: str = "text",
+    id_col: str = "doc_id",
+    broadcast_benchmark: bool = True,
+) -> DataFrame:
+    """Benchmark decontamination (the standard n-gram overlap rule, e.g.
+    GPT-3 §C / PaLM: drop a training document sharing any 13-gram with an
+    evaluation set): annotates every doc with ``n_contaminated`` (how many
+    of its DISTINCT word k-grams appear in the benchmark's k-gram set) and
+    ``contaminated`` (≥ threshold).
+
+    Scale shape: the benchmark k-gram set is exploded + distinct-ed once —
+    eval suites are tiny next to the corpus, so it broadcasts
+    (``broadcast_benchmark``; pass False for a huge benchmark and let AQE
+    choose from runtime stats). The corpus side explodes its distinct
+    k-grams, hash-joins against the broadcast set, and map-side-combines
+    the per-doc hit count — corpus rows never shuffle on anything wider
+    than (id, count). Short docs (< k words) contribute their whole text
+    as one gram (ngram_shingles' degenerate case) — exact-match
+    containment still fires.
+    """
+    bgrams = benchmark.select(
+        F.explode(ngram_shingles(F.col(bench_text_col), k)).alias("gram")
+    ).distinct()
+    if broadcast_benchmark:
+        bgrams = F.broadcast(bgrams)
+    dgrams = docs.select(
+        F.col(id_col).alias("_d_id"),
+        F.explode(
+            F.array_distinct(ngram_shingles(F.col(text_col), k))
+        ).alias("gram"),
+    )
+    hits = (
+        dgrams.join(bgrams, "gram")
+        .groupBy("_d_id")
+        .agg(F.count("*").alias("n_contaminated"))
+    )
+    out = docs.join(
+        hits, docs[id_col] == hits["_d_id"], "left"
+    ).drop("_d_id")
+    n = F.coalesce(F.col("n_contaminated"), F.lit(0))
+    return out.withColumn("n_contaminated", n).withColumn(
+        "contaminated", n >= F.lit(int(threshold))
+    )

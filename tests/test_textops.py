@@ -325,3 +325,66 @@ def test_pack_plan_random_vs_reference(spark):
         for r in T.pack_plan(docs, capacity=cap).collect()
     }
     assert got == expect
+
+
+def test_sample_mix_exact_quotas_and_determinism(spark):
+    """Stratified mix sampler: exact per-group quotas, quota>group keeps the
+    whole group, unlisted groups are dropped, the pick is stable under
+    repartitioning, and the quota-literal window gets the map-side
+    WindowGroupLimit pruning."""
+    import io
+    from contextlib import redirect_stdout
+
+    from ant_spark.operators.textops import sample_mix
+
+    rows = [(i, f"s{i % 3}", f"text {i}") for i in range(60)]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    quotas = {"s0": 5, "s1": 100}
+    out = sample_mix(docs, quotas, seed=7)
+    got = out.groupBy("source").count().collect()
+    counts = {r["source"]: r["count"] for r in got}
+    assert counts == {"s0": 5, "s1": 20}  # s1 quota > size -> all; s2 dropped
+    a = sorted(r["doc_id"] for r in out.collect())
+    b = sorted(
+        r["doc_id"]
+        for r in sample_mix(docs.repartition(7), quotas, seed=7).collect()
+    )
+    assert a == b  # partition-independent deterministic pick
+    assert a != sorted(
+        r["doc_id"] for r in sample_mix(docs, quotas, seed=8).collect()
+    )  # seed changes the pick
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        out.explain("formatted")
+    assert buf.getvalue().count("WindowGroupLimit") // 2 >= 2
+
+
+def test_decontaminate_ngram_overlap(spark):
+    """Benchmark decontamination: a doc sharing a 13-gram with the
+    benchmark is flagged; distinct grams count once; clean docs pass with
+    n_contaminated=0; short docs exact-match via the degenerate shingle."""
+    from ant_spark.operators.textops import decontaminate
+
+    bench_sent = "the quick brown fox jumps over the lazy dog near the old barn"
+    docs = spark.createDataFrame(
+        [
+            (0, f"intro text then {bench_sent} and some closing words"),
+            (1, "a completely different document about spark engines"),
+            (2, bench_sent),            # full containment
+            (3, "tiny leak"),           # short doc, exact-matches bench row 2
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, bench_sent), (101, "tiny leak")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in decontaminate(docs, bench, k=13).collect()}
+    assert out[0]["contaminated"] and out[0]["n_contaminated"] >= 1
+    assert not out[1]["contaminated"] and out[1]["n_contaminated"] == 0
+    assert out[2]["contaminated"]
+    assert out[3]["contaminated"]  # degenerate whole-text gram matched
+    # threshold above the hit count clears doc 0's single-sentence leak
+    hi = {r["doc_id"]: r for r in
+          decontaminate(docs, bench, k=13, threshold=10).collect()}
+    assert not hi[1]["contaminated"]
+    assert hi[0]["contaminated"] == (hi[0]["n_contaminated"] >= 10)
