@@ -666,6 +666,23 @@ def _q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.filter(F.col("contaminated")).select("doc_id", "n_contaminated")
 
 
+def _q_near_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters as CONNECTED COMPONENTS (iterative min-label
+    propagation — the proper union-find dedup that chained duplicates
+    need): edges are the confirmed minhash+jaccard pairs; output one
+    (doc_id, component=min id of cluster) row per clustered doc."""
+    from ant_spark.operators.textops import (
+        connected_components,
+        jaccard_pairs,
+        minhash_candidate_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    cand = minhash_candidate_pairs(docs, "text", 8, 4, 3, "md5")
+    conf = jaccard_pairs(docs, cand, "text", 3).filter(F.col("jaccard") >= 0.8)
+    return connected_components(conf)
+
+
 def _q_ivf_topk_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN top-k over DATA-DRIVEN cells: the same probe path as
     emb_ivf_topk but with k-means-trained coarse centroids (Spark-native
@@ -779,6 +796,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_curation_full": _q_curation_full,
         "text_sample_mix": _q_sample_mix,
         "text_decontaminate": _q_decontaminate,
+        "text_near_dup_components": _q_near_dup_components,
         # similarity search
         "emb_cosine_topk": _q_cosine_topk,
         "emb_lsh_bucket": _q_lsh_bucket,
@@ -1442,6 +1460,42 @@ def oracle_sql() -> dict[str, str]:
               FROM documents
               WHERE source IN ('src0', 'src1', 'src2'))
             WHERE rk <= q
+        """,
+        "text_near_dup_components": f"""
+            WITH RECURSIVE sig AS (
+              SELECT doc_id,
+                {', '.join(f"list_aggregate(list_transform({_SHINGLES_SQL}, x -> md5('{i}:' || x)), 'min') AS h{i}" for i in range(8))}
+              FROM documents),
+            banded AS (
+              {' UNION ALL '.join(f"SELECT doc_id, {bq} AS band_idx, md5(h{2 * bq} || '|' || h{2 * bq + 1}) AS band_key FROM sig" for bq in range(4))}),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+              FROM banded a JOIN banded b
+                ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+               AND a.doc_id < b.doc_id),
+            shd AS (
+              SELECT doc_id, list_distinct({_SHINGLES_SQL}) AS sd
+              FROM documents),
+            conf AS (
+              SELECT da, db FROM cand
+              JOIN shd a ON cand.da = a.doc_id
+              JOIN shd b ON cand.db = b.doc_id
+              WHERE round(len(list_intersect(a.sd, b.sd))::DOUBLE
+                    / len(list_distinct(a.sd || b.sd)), 4) >= 0.8),
+            edges AS (
+              SELECT da AS src, db AS dst FROM conf
+              UNION SELECT db, da FROM conf),
+            comp AS (
+              SELECT DISTINCT src AS id, src AS label FROM edges
+              UNION
+              SELECT e.dst AS id, c.label
+              FROM comp c JOIN edges e ON c.id = e.src),
+            -- transitive closure of labels; min per vertex = the component
+            -- representative (matches the Spark min-label fixpoint)
+            out AS (
+              SELECT id AS doc_id, min(label)::BIGINT AS component
+              FROM comp GROUP BY id)
+            SELECT doc_id, component FROM out
         """,
         "text_decontaminate": f"""
             WITH bench AS (

@@ -75,6 +75,10 @@ def curate(
     )
 
     # near-dup: minhash candidates → exact jaccard → drop higher doc_id.
+    # (Pairwise doc_b-dropping over-deletes on duplicate CHAINS a-b-c; the
+    # chain-correct mode is textops.connected_components over `confirmed`,
+    # keeping one representative per cluster — oracle-checked as
+    # text_near_dup_components.)
     # drop_ids is persisted (tiny — ids only): the LSH+Jaccard subtree is
     # the pipeline's expensive part and both `kept` and the stats rollup
     # reference it — whichever materializes first computes it ONCE.

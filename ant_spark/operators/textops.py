@@ -745,3 +745,76 @@ def decontaminate(
     return out.withColumn("n_contaminated", n).withColumn(
         "contaminated", n >= F.lit(int(threshold))
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components of the near-duplicate pair graph — the proper
+    cluster-then-keep-one dedup. (Dropping ``doc_b`` of every pair, as the
+    simple curation stage does, over-deletes on chains a-b, b-c: b AND c
+    both drop even though after removing b, c no longer duplicates
+    anything kept. Component clustering keeps exactly one representative —
+    the min doc_id — per duplicate cluster.)
+
+    Iterative min-label propagation: ``label(v)`` starts at v; each round
+    every vertex takes the min label among itself and its neighbours;
+    fixpoint after O(graph diameter) rounds — near-dup clusters are
+    shallow (diameter ≲ 3), so 3-4 rounds typical, ``max_iter`` bounds
+    pathological chains.
+
+    Spark-first shape per round: one edge join + one min-groupBy (two
+    shuffles on near-uniform ids — at 10^10 edges both sides bucket by
+    vertex id). Labels persist per round and the previous round unpersists
+    so lineage stays O(1); convergence is driver-checked with a
+    LIMIT-1-count probe (the per-round scalar action an iterative
+    algorithm needs — this is the documented exception to the no-driver-
+    loop rule, bounded by the graph diameter, not the data size).
+
+    Returns (doc_id, component) for every vertex that appears in a pair;
+    ``component`` = min doc_id of the component (deterministic).
+    """
+    a, b = F.col(a_col), F.col(b_col)
+    edges = (
+        pairs.select(a.alias("src"), b.alias("dst"))
+        .unionByName(pairs.select(b.alias("src"), a.alias("dst")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .persist()
+    )
+    try:
+        for _ in range(max_iter):
+            prop = edges.join(
+                labels.withColumnRenamed("id", "src"), "src"
+            ).select(F.col("dst").alias("id"), "label")
+            new_labels = (
+                labels.unionByName(prop)
+                .groupBy("id")
+                .agg(F.min("label").alias("label"))
+                .persist()
+            )
+            changed = (
+                new_labels.join(
+                    labels.select("id", F.col("label").alias("_old")), "id"
+                )
+                .filter(F.col("label") != F.col("_old"))
+                .limit(1)
+                .count()
+            )
+            labels.unpersist()
+            labels = new_labels
+            if changed == 0:
+                break
+        return labels.select(
+            F.col("id").alias("doc_id"), F.col("label").alias("component")
+        )
+    finally:
+        edges.unpersist()

@@ -388,3 +388,23 @@ def test_decontaminate_ngram_overlap(spark):
           decontaminate(docs, bench, k=13, threshold=10).collect()}
     assert not hi[1]["contaminated"]
     assert hi[0]["contaminated"] == (hi[0]["n_contaminated"] >= 10)
+
+
+def test_connected_components_chains_and_islands(spark):
+    """Min-label propagation: a 4-doc chain collapses to one component
+    labelled by its min id (the case pairwise doc_b-dropping over-deletes),
+    an island pair keeps its own label, and converging takes O(diameter)
+    rounds under max_iter."""
+    from ant_spark.operators.textops import connected_components
+
+    pairs = spark.createDataFrame(
+        # chain 1-2, 2-3, 3-4 (diameter 3) + island 10-11 + triangle 20-21-22
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22), (20, 22)],
+        "doc_a long, doc_b long",
+    )
+    got = {r["doc_id"]: r["component"]
+           for r in connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10,
+                   20: 20, 21: 20, 22: 20}
+    # keep-one-per-cluster: representatives = distinct components
+    assert sorted(set(got.values())) == [1, 10, 20]
