@@ -748,6 +748,26 @@ def _q_crawl_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.fetched_log.select("seq", "url", "status", "n_links").orderBy("seq")
 
 
+def _q_crawl_render(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4 render seam e2e: the JS golden site's third page is linked ONLY
+    via document.write — with CrawlConfig.render_fn (fake_js_renderer
+    sandbox kernel, same seam a chrome CDP renderer plugs into) the
+    rendered link joins the frontier and all 3 pages are visited; output
+    pinned as a VALUES oracle (deterministic BFS order)."""
+    from ant_spark import schemas
+    from ant_spark.engine import CrawlConfig, Engine
+    from ant_spark.operators.render import fake_js_renderer
+    from ant_spark.sources.webgraph import example_js_site
+
+    pages_pdf, _, seeds = example_js_site()
+    pages = spark.createDataFrame(pages_pdf, schema=schemas.PAGES)
+    res = Engine(
+        spark, pages, None,
+        CrawlConfig(max_rounds=6, ordering="bfs", render_fn=fake_js_renderer),
+    ).run(seeds)
+    return res.fetched_log.select("seq", "url", "status", "n_links").orderBy("seq")
+
+
 def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: mapInPandas feature extraction (stub kernel)."""
     from ant_spark.operators.multimodal import MEDIA, extract_features, synth_media
@@ -808,6 +828,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_frame_plan": _q_media_frame_plan,
         # non-SQL (rows-only)
         "crawl_e2e_visited": _q_crawl_e2e,
+        "crawl_render_visited": _q_crawl_render,
         "media_features_stub": _q_media_features,
     }
 
@@ -1657,6 +1678,20 @@ def oracle_sql() -> dict[str, str]:
               (2, 'http://example.com/products.html', 200, 2),
               (4, 'http://example.com/a.html', 200, 0),
               (5, 'http://example.com/b.html', 200, 0)
+            ) AS t(seq, url, status, n_links)
+        """,
+        # crawl_render_visited: like the flagship, the engine run is not
+        # SQL-expressible but the JS golden site's rendered crawl output is
+        # deterministic — pin it. The static link parses first
+        # (document order), so /static.html takes seq 1, the rendered
+        # /js-only.html seq 2; the seed page counts 2 links post-render.
+        "crawl_render_visited": """
+            SELECT seq::BIGINT AS seq, url, status::INT AS status,
+                   n_links::INT AS n_links
+            FROM (VALUES
+              (0, 'http://js.example.com/', 200, 2),
+              (1, 'http://js.example.com/static.html', 200, 0),
+              (2, 'http://js.example.com/js-only.html', 200, 0)
             ) AS t(seq, url, status, n_links)
         """,
         # media_features_stub: intentionally no oracle (mapInPandas stub

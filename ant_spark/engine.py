@@ -106,6 +106,16 @@ class CrawlConfig:
     pattern_rule_mode: str = "all"
     max_age_seconds: float | None = None  # cache freshness (S5); needs crawl_ts
     crawl_ts: Any = None  # datetime 'now' for freshness tests
+    # S4 render seam (antcdp/client.go — a pluggable client that returns
+    # chrome-RENDERED html): a bytes→bytes kernel applied to fetched html
+    # between the fetch join and the parse UDF, so JS-injected links enter
+    # the frontier like static ones. render_when optionally gates it per
+    # row (a Column-builder over the fetched-row columns); None renders
+    # every 200, matching the reference's whole-fetcher swap. Kernels in
+    # operators/render.py (fake_js_renderer sandbox stand-in; cdp_renderer
+    # marks the real-chrome boundary).
+    render_fn: Callable | None = None
+    render_when: Callable | None = None
     # 'partitioned' is the default (scale-safe: seq windows are per
     # hash-partition, no global sort ever materializes). 'bfs' is the opt-in
     # sequential-parity mode reproducing the reference's Workers=1 FIFO order
@@ -829,15 +839,22 @@ class Engine:
             )
             # fuse fetch-join + parse into ONE cached pass: the UDF only sees
             # html for 200s (null otherwise); the cache never holds html.
+            html_in = F.when(status_eff == 200, F.col("html"))
+            if cfg.render_fn is not None:
+                # S4 render seam: vectorized kernel over the fetched html,
+                # in the same Python stage as the parse UDF (no extra pass)
+                from ant_spark.operators.render import make_render_udf
+
+                rendered = make_render_udf(cfg.render_fn)(html_in)
+                if cfg.render_when is not None:
+                    html_in = F.when(cfg.render_when(), rendered).otherwise(
+                        html_in
+                    )
+                else:
+                    html_in = rendered
             processed = (
                 fetched.withColumn("status_eff", status_eff)
-                .withColumn(
-                    "parsed",
-                    self._parse_udf(
-                        F.col("url"),
-                        F.when(status_eff == 200, F.col("html")),
-                    ),
-                )
+                .withColumn("parsed", self._parse_udf(F.col("url"), html_in))
                 .drop("html", "_p_url", "_p_status", "ok_after_attempt")
             )
             obs_proc = Observation() if observe else None

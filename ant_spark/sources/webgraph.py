@@ -373,3 +373,53 @@ def example_site(host: str = "example.com") -> tuple[pd.DataFrame, pd.DataFrame,
         ]
     )
     return pages, robots, [f"http://{host}/"]
+
+
+# JS fixture for the S4 render seam (operators/render.py): /js-only.html is
+# reachable ONLY through a document.write'd link — a static parse never
+# sees it, a rendered parse does (reference antcdp renders pages so
+# JS-injected links enter the frontier, client.go:1-20).
+_JS_PAGES: dict[str, str] = {
+    "/": (
+        "<!DOCTYPE html>\n<html>\n  <head><title>JS Example</title></head>\n"
+        "  <body>\n    <a href=\"/static.html\">static</a>\n"
+        "    <script>document.write('<a href=\"/js-only.html\">late</a>')"
+        "</script>\n  </body>\n</html>\n"
+    ),
+    "/static.html": (
+        "<!DOCTYPE html>\n<html>\n  <head><title></title></head>\n"
+        "  <body>\n    static page\n  </body>\n</html>\n"
+    ),
+    "/js-only.html": (
+        "<!DOCTYPE html>\n<html>\n  <head><title></title></head>\n"
+        "  <body>\n    only reachable after render\n  </body>\n</html>\n"
+    ),
+}
+
+
+def example_js_site(host: str = "js.example.com") -> tuple[pd.DataFrame, pd.DataFrame, list[str]]:
+    """A golden mini-site whose third page is linked only via
+    document.write — the render-seam fixture (deterministic, so the crawl
+    output pins as a VALUES oracle like crawl_e2e_visited)."""
+    from ant_spark.functions.htmldom import parse as _parse
+    from ant_spark.functions.htmldom import text as _text
+
+    base = dt.datetime(2025, 1, 1, tzinfo=dt.timezone.utc)
+    rows = []
+    for i, (path, html) in enumerate(sorted(_JS_PAGES.items())):
+        rows.append(
+            {
+                "url": f"http://{host}{path}",
+                "warc_ts": base + dt.timedelta(seconds=i),
+                "html": html.encode("utf-8"),
+                "text": _text(_parse(html)),
+                "lang": "en",
+                "status": 200,
+                "ok_after_attempt": None,
+            }
+        )
+    pages = pd.DataFrame(rows)
+    robots = pd.DataFrame(
+        columns=["host", "status", "body", "crawl_delay", "fetched_round"]
+    )
+    return pages, robots, [f"http://{host}/"]
