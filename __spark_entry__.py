@@ -768,6 +768,23 @@ def _q_crawl_render(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.fetched_log.select("seq", "url", "status", "n_links").orderBy("seq")
 
 
+def _q_warc_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC source round-trip (the Common Crawl interchange format): the
+    golden site serialized as per-record-gzip WARC/1.0 response records,
+    read back through the binaryFile → mapInPandas parser; byte counts,
+    urls and statuses must match the fixture exactly (VALUES oracle
+    computed from the same fixture constants)."""
+    import tempfile
+
+    from ant_spark.sources.warc import read_warc, write_warc
+    from ant_spark.sources.webgraph import example_site
+
+    pages_pdf, _, _ = example_site()
+    path = tempfile.mktemp(suffix=".warc.gz", prefix="ant_warc_")
+    write_warc(pages_pdf.to_dict("records"), path, compress=True)
+    return read_warc(spark, path).select("url", "status", "n_bytes")
+
+
 def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: mapInPandas feature extraction (stub kernel)."""
     from ant_spark.operators.multimodal import MEDIA, extract_features, synth_media
@@ -829,6 +846,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # non-SQL (rows-only)
         "crawl_e2e_visited": _q_crawl_e2e,
         "crawl_render_visited": _q_crawl_render,
+        "crawl_warc_source": _q_warc_source,
         "media_features_stub": _q_media_features,
     }
 
@@ -929,6 +947,17 @@ def _cos_sql(a: str, b: str, d: int = _DIM) -> str:
     return (
         f"({_dot_sql(a, b, d)} / "
         f"(sqrt({_dot_sql(a, a, d)}) * sqrt({_dot_sql(b, b, d)})))"
+    )
+
+
+def _warc_values_sql() -> str:
+    """Expected crawl_warc_source rows straight from the fixture constants
+    (round-trip identity: byte-exact html lengths)."""
+    from ant_spark.sources.webgraph import _EXAMPLE_PAGES
+
+    return ", ".join(
+        f"('http://example.com{path}', 200, {len(html.encode('utf-8'))})"
+        for path, html in sorted(_EXAMPLE_PAGES.items())
     )
 
 
@@ -1693,6 +1722,15 @@ def oracle_sql() -> dict[str, str]:
               (1, 'http://js.example.com/static.html', 200, 0),
               (2, 'http://js.example.com/js-only.html', 200, 0)
             ) AS t(seq, url, status, n_links)
+        """,
+        # crawl_warc_source: round-trip identity — the expected rows are
+        # computed from the SAME fixture constants the query serializes
+        # (url, status 200, exact utf-8 byte length per page).
+        "crawl_warc_source": f"""
+            SELECT url, status::INT AS status, n_bytes::BIGINT AS n_bytes
+            FROM (VALUES
+              {_warc_values_sql()}
+            ) AS t(url, status, n_bytes)
         """,
         # media_features_stub: intentionally no oracle (mapInPandas stub
         # kernel is not SQL-expressible) → the driver records the weaker
