@@ -666,6 +666,33 @@ def _q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.filter(F.col("contaminated")).select("doc_id", "n_contaminated")
 
 
+def _q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-graph PageRank (frontier-prioritization signal): 3 fixed-point
+    integer iterations over a synthetic link graph — integral DIV + bigint
+    sums make the result bit-identical across partitionings and engines
+    (a float formulation would flap at rounding boundaries)."""
+    from ant_spark.operators.graphops import pagerank
+
+    ev = _t(spark, sf_dir, "events")
+    edges = ev.select(
+        (F.col("user_id") % 40).alias("src"),
+        (F.col("event_id") % 40).alias("dst"),
+    ).filter(F.col("src") != F.col("dst"))
+    return pagerank(edges, n_iter=3).select("id", "rank_scaled")
+
+
+def _q_graph_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In/out degree rollup over the same synthetic link graph."""
+    from ant_spark.operators.graphops import degrees
+
+    ev = _t(spark, sf_dir, "events")
+    edges = ev.select(
+        (F.col("user_id") % 40).alias("src"),
+        (F.col("event_id") % 40).alias("dst"),
+    ).filter(F.col("src") != F.col("dst"))
+    return degrees(edges)
+
+
 def _q_near_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup clusters as CONNECTED COMPONENTS (iterative min-label
     propagation — the proper union-find dedup that chained duplicates
@@ -834,6 +861,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_sample_mix": _q_sample_mix,
         "text_decontaminate": _q_decontaminate,
         "text_near_dup_components": _q_near_dup_components,
+        "graph_pagerank": _q_pagerank,
+        "graph_degrees": _q_graph_degrees,
         # similarity search
         "emb_cosine_topk": _q_cosine_topk,
         "emb_lsh_bucket": _q_lsh_bucket,
@@ -1546,6 +1575,61 @@ def oracle_sql() -> dict[str, str]:
               SELECT id AS doc_id, min(label)::BIGINT AS component
               FROM comp GROUP BY id)
             SELECT doc_id, component FROM out
+        """,
+        "graph_pagerank": """
+            WITH e AS (
+              SELECT user_id % 40 AS src, event_id % 40 AS dst
+              FROM events WHERE user_id % 40 <> event_id % 40),
+            nodes AS (
+              SELECT DISTINCT id FROM (
+                SELECT src AS id FROM e UNION ALL SELECT dst FROM e)),
+            outd AS (SELECT src, count(*) AS o FROM e GROUP BY src),
+            -- fixed-point recurrence, mirrored from graphops.pagerank:
+            -- r0 = scale DIV N; base = (15 * r0) DIV 100;
+            -- r'(v) = base + (85 * sum(r(u) DIV o(u))) DIV 100
+            r0 AS (
+              SELECT id,
+                (1000000000 // (SELECT count(*) FROM nodes))::BIGINT AS r
+              FROM nodes),
+            it1 AS (
+              SELECT n.id,
+                ((15 * (1000000000 // (SELECT count(*) FROM nodes))) // 100
+                 + (85 * coalesce(s.s, 0)) // 100)::BIGINT AS r
+              FROM nodes n LEFT JOIN (
+                SELECT e.dst AS id, sum(r.r // o.o)::BIGINT AS s
+                FROM e JOIN r0 r ON e.src = r.id
+                JOIN outd o ON e.src = o.src
+                GROUP BY e.dst) s ON n.id = s.id),
+            it2 AS (
+              SELECT n.id,
+                ((15 * (1000000000 // (SELECT count(*) FROM nodes))) // 100
+                 + (85 * coalesce(s.s, 0)) // 100)::BIGINT AS r
+              FROM nodes n LEFT JOIN (
+                SELECT e.dst AS id, sum(r.r // o.o)::BIGINT AS s
+                FROM e JOIN it1 r ON e.src = r.id
+                JOIN outd o ON e.src = o.src
+                GROUP BY e.dst) s ON n.id = s.id),
+            it3 AS (
+              SELECT n.id,
+                ((15 * (1000000000 // (SELECT count(*) FROM nodes))) // 100
+                 + (85 * coalesce(s.s, 0)) // 100)::BIGINT AS r
+              FROM nodes n LEFT JOIN (
+                SELECT e.dst AS id, sum(r.r // o.o)::BIGINT AS s
+                FROM e JOIN it2 r ON e.src = r.id
+                JOIN outd o ON e.src = o.src
+                GROUP BY e.dst) s ON n.id = s.id)
+            SELECT id, r AS rank_scaled FROM it3
+        """,
+        "graph_degrees": """
+            WITH e AS (
+              SELECT user_id % 40 AS src, event_id % 40 AS dst
+              FROM events WHERE user_id % 40 <> event_id % 40),
+            outd AS (SELECT src AS id, count(*) AS od FROM e GROUP BY src),
+            ind AS (SELECT dst AS id, count(*) AS idg FROM e GROUP BY dst)
+            SELECT coalesce(outd.id, ind.id) AS id,
+                   coalesce(od, 0)::BIGINT AS out_degree,
+                   coalesce(idg, 0)::BIGINT AS in_degree
+            FROM outd FULL OUTER JOIN ind ON outd.id = ind.id
         """,
         "text_decontaminate": f"""
             WITH bench AS (

@@ -1,0 +1,113 @@
+"""Link-graph analytics over crawl output (frontier prioritization inputs).
+
+A production crawler feeds its scheduler from graph signals over what it
+has already fetched — PageRank-weighted frontier ordering is the classic
+(Cho/Garcia-Molina "Efficient Crawling Through URL Ordering"; the engine's
+``priority_fn`` + ``queue_policy='priority'`` consume exactly such a
+score). These operators compute those signals Spark-first over an edge
+table (src, dst) — e.g. the parse stage's extracted links.
+
+Scale shape: degree and rank updates are map-side-combinable groupBys on
+the vertex id (near-uniform key); each PageRank iteration is one join +
+one groupBy — at 10^10 edges both sides bucket by vertex id, same idiom as
+the seen/fetch tables. Iteration count is fixed and small (rank signals
+for scheduling need 2-5 iterations, not convergence), so the driver loop
+is O(n_iter), never O(data).
+
+Determinism: PageRank here is FIXED-POINT integer arithmetic (ranks in
+``scale`` units, integral ``DIV``, bigint sums). Integer addition is
+order-independent, so the result is bit-identical across partitionings AND
+across engines — a float formulation would round differently near
+boundaries depending on summation order, which a hash-comparing
+correctness gate cannot tolerate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def degrees(edges: DataFrame, src_col: str = "src", dst_col: str = "dst") -> DataFrame:
+    """(id, out_degree, in_degree) per vertex appearing in any edge."""
+    out_d = edges.groupBy(F.col(src_col).alias("id")).agg(
+        F.count("*").alias("out_degree")
+    )
+    in_d = edges.groupBy(F.col(dst_col).alias("id")).agg(
+        F.count("*").alias("in_degree")
+    )
+    return (
+        out_d.join(in_d, "id", "full")
+        .select(
+            "id",
+            F.coalesce("out_degree", F.lit(0)).alias("out_degree"),
+            F.coalesce("in_degree", F.lit(0)).alias("in_degree"),
+        )
+    )
+
+
+def pagerank(
+    edges: DataFrame,
+    n_iter: int = 3,
+    damping_pct: int = 85,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    scale: int = 10**9,
+) -> DataFrame:
+    """Fixed-iteration fixed-point PageRank.
+
+    Exact integer recurrence (mirrored verbatim by the SQL oracle)::
+
+        r0      = scale DIV N
+        base    = ((100 - damping_pct) * r0) DIV 100
+        r'(v)   = base + (damping_pct * Σ_u→v (r(u) DIV out(u))) DIV 100
+
+    Standard simple variant: dangling vertices (no outlinks) contribute
+    nothing (their mass leaks — acceptable for crawl-scheduling signals).
+    Returns (id, rank_scaled bigint, rank double=rank_scaled/scale); the
+    bigint column is the hash-stable one.
+    """
+    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    nodes = (
+        e.select(F.col("src").alias("id"))
+        .unionByName(e.select(F.col("dst").alias("id")))
+        .distinct()
+        .persist()
+    )
+    n = nodes.count()  # one scalar action, once (N is a constant of the run)
+    out_deg = e.groupBy("src").agg(F.count("*").alias("_out")).persist()
+    r0 = scale // n
+    base = ((100 - damping_pct) * r0) // 100
+    ranks = nodes.withColumn("rank_scaled", F.lit(r0).cast("long")).persist()
+    try:
+        for _ in range(n_iter):
+            contrib = (
+                e.join(ranks.withColumnRenamed("id", "src"), "src")
+                .join(out_deg, "src")
+                .select(
+                    F.col("dst").alias("id"),
+                    F.expr("rank_scaled DIV _out").alias("_c"),
+                )
+            )
+            summed = contrib.groupBy("id").agg(F.sum("_c").alias("_s"))
+            new_ranks = (
+                nodes.join(summed, "id", "left")
+                .select(
+                    "id",
+                    (
+                        F.lit(base).cast("long")
+                        + F.expr(
+                            f"({damping_pct} * coalesce(_s, 0L)) DIV 100"
+                        )
+                    ).alias("rank_scaled"),
+                )
+                .persist()
+            )
+            ranks.unpersist()
+            ranks = new_ranks
+        return ranks.withColumn(
+            "rank", F.col("rank_scaled") / F.lit(float(scale))
+        )
+    finally:
+        nodes.unpersist()
+        out_deg.unpersist()
