@@ -60,3 +60,44 @@ def test_stream_matches_dom(atoms):
     """The DOM-less hot path must equal the DOM path on ANY tag soup."""
     html = "".join(atoms)
     assert stream_extract(html) == fast_extract(parse(html)), html
+
+
+# --- WARC framing round-trip ------------------------------------------------
+
+import datetime as _dt
+
+from ant_spark.sources.warc import _record_bytes, parse_warc_bytes
+
+_url_chars = st.text(
+    alphabet="abcdefghijklmnopqrstuvwxyz0123456789-._~/", min_size=1, max_size=40
+)
+
+
+@given(
+    st.lists(
+        st.tuples(_url_chars, st.binary(max_size=512), st.sampled_from([200, 404, 503])),
+        min_size=1,
+        max_size=8,
+    ),
+    st.booleans(),
+)
+@settings(max_examples=150, deadline=None)
+def test_warc_framing_roundtrip(rows, compress):
+    """ANY sequence of (url, body, status) — including bodies containing
+    WARC/1.0 markers, CRLFs, or gzip magic — survives the record framing
+    byte-for-byte (Content-Length framing must win over content sniffing)."""
+    import gzip as _gzip
+
+    ts = _dt.datetime(2025, 1, 1)
+    buf = b"".join(
+        _record_bytes(f"http://t/{u}", ts.strftime("%Y-%m-%dT%H:%M:%SZ"), s, b)
+        for u, b, s in rows
+    )
+    if compress:
+        buf = _gzip.compress(buf)
+    got = list(parse_warc_bytes(buf))
+    assert len(got) == len(rows)
+    for (u, b, s), rec in zip(rows, got):
+        assert rec["url"] == f"http://t/{u}"
+        assert rec["html"] == b
+        assert rec["status"] == s
