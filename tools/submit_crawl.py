@@ -20,7 +20,13 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
+import sys
 import time
+
+# plain `python tools/submit_crawl.py` support; under spark-submit the
+# --py-files zip provides the package instead
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main() -> None:
@@ -40,6 +46,17 @@ def main() -> None:
     ap.add_argument("--metrics-mode", default="observe",
                     choices=["observe", "partition"])
     ap.add_argument("--ua", default="antbot")
+    ap.add_argument("--warc", default=None,
+                    help="read the page corpus from WARC file(s)/glob "
+                         "instead of parquet (Common Crawl segments)")
+    ap.add_argument("--pages-table-path", default=None,
+                    help="stage the corpus as a url-bucketed table here and "
+                         "run the zero-Exchange fetch join (100 TB mode)")
+    ap.add_argument("--fetch-buckets", type=int, default=32)
+    ap.add_argument("--render", default="off", choices=["off", "fake"],
+                    help="S4 render seam: 'fake' plugs the document.write "
+                         "kernel (a real CDP renderer is any bytes->bytes "
+                         "callable on CrawlConfig.render_fn)")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -65,12 +82,31 @@ def main() -> None:
         pages_pdf, robots_pdf, seeds = generate(cfg)
         pages = spark.createDataFrame(pages_pdf, schema=schemas.PAGES)
         robots = spark.createDataFrame(robots_pdf, schema=schemas.ROBOTS)
+    elif args.warc:
+        from ant_spark.sources.warc import read_warc, warc_to_pages
+
+        pages = warc_to_pages(read_warc(spark, args.warc))
+        robots = spark.read.parquet(args.robots) if args.robots else None
+        seeds = (args.seeds or "").split(",") if args.seeds else []
     else:
         if not args.pages:
-            raise SystemExit("--pages or --gen-pages required")
+            raise SystemExit("--pages, --warc or --gen-pages required")
         pages = spark.read.parquet(args.pages)
         robots = spark.read.parquet(args.robots) if args.robots else None
         seeds = (args.seeds or "").split(",") if args.seeds else []
+
+    extra = {}
+    if args.pages_table_path:
+        Engine.create_pages_table(
+            spark, pages, "ant_submit_pages", args.pages_table_path,
+            buckets=args.fetch_buckets,
+        )
+        extra = {"pages_table": "ant_submit_pages",
+                 "fetch_buckets": args.fetch_buckets}
+    if args.render == "fake":
+        from ant_spark.operators.render import fake_js_renderer
+
+        extra["render_fn"] = fake_js_renderer
 
     ccfg = CrawlConfig(
         ua=args.ua,
@@ -80,6 +116,7 @@ def main() -> None:
         metrics_mode=args.metrics_mode,
         max_rounds=args.max_rounds,
         checkpoint_dir=args.checkpoint,
+        **extra,
     )
     t0 = time.time()
     res = Engine(spark, pages, robots, ccfg).run(seeds, resume=args.resume)
