@@ -15,7 +15,11 @@ feeds extraction/analytics incrementally. This module is that surface:
 - ``stream_sessionize``: CUSTOM STATEFUL operator via
   ``applyInPandasWithState`` — per-host crawl sessions closed by an
   event-time timeout when a host goes quiet (the streaming twin of the
-  batch ``events_sessionize`` query; state = (start, last, n) per host).
+  batch ``events_sessionize`` query; state = (start, last, n) per host);
+- ``stream_url_dedupe``: streaming seen-set via
+  ``dropDuplicatesWithinWatermark`` — first occurrence per
+  (url_hash, url) with watermark-bounded state (the streaming twin of the
+  batch engine's J1 anti-join).
 
 Tests run with ``trigger(availableNow=True)`` so the unbounded pipeline
 drains the existing data and stops (same code path as a live stream).
@@ -218,6 +222,46 @@ def stream_sessionize(
         .queryName(query_name)
         .outputMode("append")
         .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def stream_url_dedupe(
+    spark: SparkSession,
+    pages_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    watermark: str = "2 hours",
+    available_now: bool = True,
+):
+    """Streaming seen-set: first occurrence per (url_hash, url) wins — the
+    Structured-Streaming twin of the batch engine's seen anti-join (J1).
+
+    ``dropDuplicatesWithinWatermark`` keeps per-key state only until the
+    event-time watermark passes, so state is bounded by the watermark
+    horizon instead of growing with the whole crawl — the right semantics
+    for a continuous ingest where re-fetches of the same URL cluster in
+    time (the batch engine, whose rounds CAN hold the full 10^10 seen set
+    as a bucketed table, remains the crawl-wide exact dedupe). Keyed on
+    (url_hash, url): hash for state-size, full url against collisions —
+    same collision-safe pair as operators/dedupe.exact_new."""
+    from ant_spark.functions.urlnorm import url_hash
+
+    pages = stream_pages(spark, pages_dir)
+    deduped = (
+        pages.select(
+            "url", url_hash(F.col("url")).alias("url_hash"), "warc_ts"
+        )
+        .withWatermark("warc_ts", watermark)
+        .dropDuplicatesWithinWatermark(["url_hash", "url"])
+    )
+    writer = (
+        deduped.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
     )
     if available_now:
         writer = writer.trigger(availableNow=True)

@@ -260,3 +260,43 @@ def test_resize_images_stub(spark):
     assert {r["media_id"]: bytes(r["payload"]) for r in out} == {
         r["media_id"]: bytes(r["payload"]) for r in again
     }
+
+
+def test_stream_url_dedupe(spark, tmp_path):
+    """Streaming seen-set (dropDuplicatesWithinWatermark): duplicated URLs
+    across micro-batches collapse to first occurrence; distinct URLs all
+    survive; state is watermark-bounded."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from ant_spark import schemas
+    from ant_spark.streaming.pipeline import stream_url_dedupe
+
+    base = dt.datetime(2025, 1, 1)
+    rows = []
+    for i in range(20):
+        # every url written twice (second copy 1 min later, well inside the
+        # 2h watermark) — the dedupe must keep exactly one of each
+        for rep in range(2):
+            rows.append(
+                {
+                    "url": f"http://h{i % 4}.test/p{i}",
+                    "warc_ts": base + dt.timedelta(minutes=i + rep),
+                    "html": b"<html></html>",
+                    "text": "",
+                    "lang": "en",
+                    "status": 200,
+                    "ok_after_attempt": None,
+                }
+            )
+    pages_dir = str(tmp_path / "pages")
+    spark.createDataFrame(pd.DataFrame(rows), schema=schemas.PAGES).repartition(
+        5
+    ).write.parquet(pages_dir)
+
+    out = str(tmp_path / "deduped")
+    q = stream_url_dedupe(spark, pages_dir, out, str(tmp_path / "ck"))
+    q.awaitTermination(300)
+    got = [r["url"] for r in spark.read.parquet(out).collect()]
+    assert sorted(got) == sorted({r["url"] for r in rows})  # exactly-once
