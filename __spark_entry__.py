@@ -666,6 +666,15 @@ def _q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.filter(F.col("contaminated")).select("doc_id", "n_contaminated")
 
 
+def _q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM-quality proxy: mean per-token unigram log10-prob from
+    a literal frequency table (OOV floor −7), all native exprs."""
+    from ant_spark.operators.textops import unigram_logprob
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", unigram_logprob(F.col("text")).alias("lp"))
+
+
 def _q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Crawl-graph PageRank (frontier-prioritization signal): 3 fixed-point
     integer iterations over a synthetic link graph — integral DIV + bigint
@@ -861,6 +870,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_sample_mix": _q_sample_mix,
         "text_decontaminate": _q_decontaminate,
         "text_near_dup_components": _q_near_dup_components,
+        "text_unigram_logprob": _q_unigram_logprob,
         "graph_pagerank": _q_pagerank,
         "graph_degrees": _q_graph_degrees,
         # similarity search
@@ -976,6 +986,16 @@ def _cos_sql(a: str, b: str, d: int = _DIM) -> str:
     return (
         f"({_dot_sql(a, b, d)} / "
         f"(sqrt({_dot_sql(a, a, d)}) * sqrt({_dot_sql(b, b, d)})))"
+    )
+
+
+def _unigram_whens_sql() -> str:
+    """The SAME centi-log integer table the Spark column uses (textops)."""
+    from ant_spark.operators.textops import EN_UNIGRAM_LOGP
+
+    return " ".join(
+        f"WHEN '{k}' THEN {int(round(v * 100))}"
+        for k, v in EN_UNIGRAM_LOGP.items()
     )
 
 
@@ -1575,6 +1595,18 @@ def oracle_sql() -> dict[str, str]:
               SELECT id AS doc_id, min(label)::BIGINT AS component
               FROM comp GROUP BY id)
             SELECT doc_id, component FROM out
+        """,
+        "text_unigram_logprob": f"""
+            -- integer centi-log sum (exact) / one IEEE division —
+            -- bit-identical to the Spark column with no rounding step
+            SELECT doc_id,
+              CASE WHEN len({_WORDS_SQL}) > 0 THEN
+                list_aggregate(
+                  list_transform({_WORDS_SQL},
+                    w -> (CASE w {_unigram_whens_sql()} ELSE -700 END)::BIGINT),
+                  'sum')::BIGINT::DOUBLE / (len({_WORDS_SQL})::BIGINT * 100)
+              ELSE -7.0 END AS lp
+            FROM documents
         """,
         "graph_pagerank": """
             WITH e AS (

@@ -818,3 +818,54 @@ def connected_components(
         )
     finally:
         edges.unpersist()
+
+
+# Unigram log10-probabilities for frequent English words (rounded from
+# standard corpus frequencies; a driver-known literal table — the CCNet-ish
+# LM-quality proxy does not need an exact LM, it needs a stable monotone
+# signal that separates English prose from boilerplate/noise).
+EN_UNIGRAM_LOGP: dict[str, float] = {
+    "the": -1.2, "of": -1.6, "and": -1.6, "to": -1.6, "a": -1.7,
+    "in": -1.7, "is": -2.0, "it": -2.1, "you": -2.1, "that": -2.1,
+    "he": -2.2, "was": -2.2, "for": -2.2, "on": -2.3, "are": -2.3,
+    "as": -2.3, "with": -2.3, "his": -2.4, "they": -2.4, "i": -2.4,
+    "at": -2.5, "be": -2.5, "this": -2.5, "have": -2.5, "from": -2.5,
+    "or": -2.6, "one": -2.6, "had": -2.6, "by": -2.6, "word": -3.2,
+    "but": -2.6, "not": -2.6, "what": -2.7, "all": -2.7, "were": -2.7,
+    "we": -2.7, "when": -2.7, "your": -2.7, "can": -2.8, "said": -2.8,
+}
+
+
+def unigram_logprob(
+    text_col: Column,
+    logp: dict[str, float] | None = None,
+    oov_logp: float = -7.0,
+) -> Column:
+    """Mean per-token unigram log10-probability — the lightweight stand-in
+    for the CCNet/KenLM perplexity filter (higher = more natural prose;
+    boilerplate, code and non-English text score near the OOV floor).
+
+    Fully native AND bit-stable cross-engine: the table is quantized to
+    integer CENTI-log units (exact, order-free bigint sum — no float
+    accumulation), and the mean is ONE IEEE division of two exact
+    integers, which every engine computes to the same bits — so no
+    rounding step is needed at all (a float-sum + round(6) formulation
+    flapped on a half-ULP tie in the oracle; same lesson as
+    graphops.pagerank). Swap in a larger table the same way at production
+    scale (or broadcast-join a vocab dim for 10^5+ entries).
+    """
+    logp = logp if logp is not None else EN_UNIGRAM_LOGP
+    centi = {k: int(round(v * 100)) for k, v in logp.items()}
+    oov_centi = int(round(oov_logp * 100))
+    m = F.create_map(
+        *[F.lit(x) for k, v in centi.items() for x in (k, v)]
+    )
+    words = words_of(text_col)
+    lps = F.transform(
+        words,
+        lambda w: F.coalesce(F.element_at(m, w), F.lit(oov_centi)).cast("long"),
+    )
+    total = F.aggregate(lps, F.lit(0).cast("long"), lambda a, v: a + v)
+    return F.when(
+        F.size(words) > 0, total / (F.size(words).cast("long") * 100)
+    ).otherwise(F.lit(float(oov_logp)))

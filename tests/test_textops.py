@@ -408,3 +408,27 @@ def test_connected_components_chains_and_islands(spark):
                    20: 20, 21: 20, 22: 20}
     # keep-one-per-cluster: representatives = distinct components
     assert sorted(set(got.values())) == [1, 10, 20]
+
+
+def test_unigram_logprob_signal(spark):
+    """LM-quality proxy: English prose scores far above the OOV floor;
+    gibberish sits at/near it; empty text takes the floor exactly. All
+    integer centi-log arithmetic — repartition-independent."""
+    from ant_spark.operators.textops import unigram_logprob
+
+    docs = spark.createDataFrame(
+        [
+            (0, "the cat sat on the mat and it was warm"),
+            (1, "zzqx vbnm qqqq wxyz plok mnbv"),
+            (2, ""),
+            (3, "the the the the"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["lp"] for r in
+           docs.select("doc_id", unigram_logprob(F.col("text")).alias("lp")).collect()}
+    assert got[0] > -4.5          # real prose: mix of table hits + few OOV
+    assert got[1] == -7.0         # all OOV -> exactly the floor
+    assert got[2] == -7.0         # empty -> floor
+    assert got[3] == -1.2         # all 'the' -> exactly its table value
+    assert got[0] > got[1]
