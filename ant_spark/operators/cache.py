@@ -120,7 +120,7 @@ def revalidate(
     cached: DataFrame,
     origin: DataFrame,
     as_of_ts: Column,
-    max_age_seconds: float,
+    max_age_seconds: float | None,
     stale_if_error: bool = False,
     cc_col: str | None = None,
     vary_col: str | None = None,
@@ -192,6 +192,13 @@ def revalidate(
       > ``max_age_seconds``. Faithful mode compares STRICTLY
       (``lifetime > age``, rfc7234.go:137) — the legacy default path keeps
       its inclusive ``warc_ts >= cutoff`` predicate.
+      ``max_age_seconds=None`` (faithful mode only) is the strict
+      reference-exact behavior: a response with a Date but no
+      max-age/Expires gets NO heuristic lifetime — the reference's
+      ``fresh()`` leaves lifetime zero and the row falls through to
+      validation (rfc7234.go:104-116). A float default is the deliberate
+      extension (heuristic freshness for WARC corpora whose captures
+      rarely carry explicit lifetimes).
     - ``authorization_col`` (request Authorization header): a non-empty
       value (or a request ``no-store`` directive) makes the request
       non-cacheable — ``cache()`` returns false (rfc7234.go:17-23) and the
@@ -203,6 +210,12 @@ def revalidate(
     shuffle-free at corpus scale.
     """
     faithful = any(c is not None for c in (date_col, expires_col, req_cc_col))
+    if max_age_seconds is None and not faithful:
+        raise ValueError(
+            "max_age_seconds=None (strict reference-exact heuristic-lifetime "
+            "behavior) requires faithful mode — pass date_col/expires_col/"
+            "req_cc_col"
+        )
     if cc_col is not None:
         cc = F.col(cc_col)
         no_store = cc_has(cc, "no-store")
@@ -246,15 +259,23 @@ def revalidate(
             min_fresh = F.lit(None).cast("double")
             max_stale_n = F.lit(None).cast("double")
             bare_max_stale = F.lit(False)
-        lifetime = F.coalesce(
-            req_maxage, resp_maxage, exp_life, F.lit(float(max_age_seconds))
+        default_life = (
+            F.lit(None).cast("double")
+            if max_age_seconds is None  # strict: no heuristic lifetime
+            else F.lit(float(max_age_seconds))
         )
+        lifetime = F.coalesce(req_maxage, resp_maxage, exp_life, default_life)
         eff_age = (
             age
             + F.coalesce(min_fresh, F.lit(0.0))
             - F.coalesce(max_stale_n, F.lit(0.0))
         )
-        is_fresh = date.isNotNull() & (bare_max_stale | (lifetime > eff_age))
+        # NULL lifetime (strict mode, no explicit lifetime anywhere) must
+        # read as NOT fresh, not three-valued NULL, so the CASE branches
+        # below see a definite False.
+        is_fresh = date.isNotNull() & (
+            bare_max_stale | F.coalesce(lifetime > eff_age, F.lit(False))
+        )
     else:
         lifetime = F.coalesce(resp_maxage, F.lit(float(max_age_seconds)))
         cutoff = as_of_ts - F.make_dt_interval(secs=lifetime)

@@ -34,6 +34,7 @@ def curate(
     hash_fn: str = "md5",
     max_repetition: float | None = None,
     drop_pii: bool = False,
+    near_dup: str = "pairwise",
 ) -> tuple[DataFrame, DataFrame]:
     """→ (kept_docs, stats). ``kept_docs`` = (doc_id, lang_id, quality,
     n_tokens); ``stats`` = (stage, n) rejection lineage.
@@ -44,7 +45,17 @@ def curate(
     (Gopher-style boilerplate rule); ``drop_pii`` drops docs whose
     content_flags has_pii fires. Both optional stages are per-row native
     exprs — they extend the codegen span, not the shuffle count.
+
+    ``near_dup`` picks the drop policy over confirmed duplicate pairs:
+
+    - ``'pairwise'`` (default): drop doc_b of every pair — one pass, but
+      over-deletes on duplicate chains a-b, b-c (b AND c drop);
+    - ``'components'``: cluster pairs via connected components and keep
+      exactly one representative (min doc_id) per cluster — chain-correct,
+      at the cost of the O(diameter) label-propagation rounds.
     """
+    if near_dup not in ("pairwise", "components"):
+        raise ValueError(f"near_dup must be 'pairwise' or 'components', got {near_dup!r}")
     enriched = docs.select(
         "doc_id",
         "text",
@@ -74,23 +85,30 @@ def curate(
         .drop("_rn")
     )
 
-    # near-dup: minhash candidates → exact jaccard → drop higher doc_id.
-    # (Pairwise doc_b-dropping over-deletes on duplicate CHAINS a-b-c; the
-    # chain-correct mode is textops.connected_components over `confirmed`,
-    # keeping one representative per cluster — oracle-checked as
-    # text_near_dup_components.)
-    # drop_ids is persisted (tiny — ids only): the LSH+Jaccard subtree is
-    # the pipeline's expensive part and both `kept` and the stats rollup
-    # reference it — whichever materializes first computes it ONCE.
+    # near-dup: minhash candidates → exact jaccard → confirmed pairs →
+    # drop per `near_dup` policy. drop_ids is EAGERLY local-checkpointed
+    # (tiny — ids only): the LSH+Jaccard subtree is the pipeline's
+    # expensive part and both `kept` and the stats rollup reference it,
+    # so it must compute ONCE; unlike a bare persist() the checkpoint
+    # blocks release with the returned DataFrames (GC-cleaned), not at
+    # session end — no cache leak per curate() call.
     pairs = T.minhash_candidate_pairs(
         exact_kept, "text", n_hashes, n_bands, k, hash_fn
     )
     confirmed = T.jaccard_pairs(exact_kept, pairs, "text", k).filter(
         F.col("jaccard") >= jaccard_threshold
     )
-    drop_ids = (
-        confirmed.select(F.col("doc_b").alias("doc_id")).distinct().persist()
-    )
+    if near_dup == "components":
+        comp = T.connected_components(confirmed)  # checkpointed, ids only
+        drop_ids = comp.filter(F.col("doc_id") != F.col("component")).select(
+            "doc_id"
+        )
+    else:
+        drop_ids = (
+            confirmed.select(F.col("doc_b").alias("doc_id"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
     kept = exact_kept.join(drop_ids, "doc_id", "left_anti").select(
         "doc_id", "lang_id", "quality", "n_tokens"
     )

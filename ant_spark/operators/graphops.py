@@ -75,6 +75,13 @@ def pagerank(
         .persist()
     )
     n = nodes.count()  # one scalar action, once (N is a constant of the run)
+    if n == 0:  # empty edge set: no vertices, empty result (same schema)
+        nodes.unpersist()
+        return nodes.select(
+            "id",
+            F.lit(None).cast("long").alias("rank_scaled"),
+            F.lit(None).cast("double").alias("rank"),
+        )
     out_deg = e.groupBy("src").agg(F.count("*").alias("_out")).persist()
     r0 = scale // n
     base = ((100 - damping_pct) * r0) // 100

@@ -813,11 +813,18 @@ def connected_components(
             labels = new_labels
             if changed == 0:
                 break
-        return labels.select(
+        # Eager local checkpoint: materializes the final labels once (they
+        # are already computed — the loop ran actions every round), lets the
+        # internal persists release, and the checkpoint blocks themselves
+        # are GC-cleaned with the returned DataFrame (no session-lifetime
+        # cache leak).
+        out = labels.select(
             F.col("id").alias("doc_id"), F.col("label").alias("component")
-        )
+        ).localCheckpoint(eager=True)
+        return out
     finally:
         edges.unpersist()
+        labels.unpersist()
 
 
 # Unigram log10-probabilities for frequent English words (rounded from

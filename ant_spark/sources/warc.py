@@ -19,8 +19,20 @@ the engine runnable straight off such files:
 - ``write_warc(rows, path)`` — sink/test-fixture writer: serializes
   (url, warc_ts, status, html) rows as WARC response records, optionally
   one gzip member per record (the CC convention). Driver-side by design —
-  tests and small exports; a distributed sink would wrap the same
-  ``_record_bytes`` per partition via ``foreachPartition``.
+  tests and small exports.
+- ``write_warc_distributed(df, dir_path)`` — the production sink: one
+  ``part-NNNNN.warc[.gz]`` file per partition via ``foreachPartition``
+  (executors stream rows, nothing collects to the driver), one gzip
+  member per record, plus a ``MANIFEST.json`` with per-part record
+  counts. ``dir_path`` must be a filesystem all executors share (as with
+  any Spark file output).
+
+Malformed-record policy (real Common-Crawl segments contain occasional
+broken records): ``parse_warc_bytes`` never lets one bad record kill the
+file's task — header bytes decode as latin-1, a bad Content-Length or
+framing error skips ahead to the next ``WARC/1.`` marker, and an
+unparseable WARC-Date yields a NULL timestamp. Mirrors the
+``on_unsupported='skip'`` philosophy in operators/multimodal.py.
 
 Record framing per ISO 28500: ``WARC/1.0\\r\\n`` + headers +
 ``\\r\\n\\r\\n`` + Content-Length payload + ``\\r\\n\\r\\n``; a response
@@ -91,11 +103,92 @@ def write_warc(rows, path: str, compress: bool = True) -> int:
     return n
 
 
+def write_warc_distributed(df: DataFrame, dir_path: str, compress: bool = True) -> int:
+    """Distributed WARC sink: one part-file per partition via
+    ``foreachPartition`` — the production shape for a 100 TB export.
+
+    Each executor streams its partition's (url, warc_ts, status, html) rows
+    straight to ``part-NNNNN.warc[.gz]`` (one gzip member per record, the CC
+    seek-point convention), writing to a dotted temp name and renaming on
+    close so readers never see a half-written part. A ``.count`` sidecar per
+    part lets the driver assemble ``MANIFEST.json`` (total + per-part record
+    counts) without re-reading any data. Empty partitions write nothing.
+
+    ``dir_path`` must be visible to all executors (shared FS / fuse mount) —
+    the same contract as every Spark file sink. Returns the total record
+    count. Read back with ``read_warc(spark, dir_path + "/part-*.warc.gz")``.
+    """
+    import json
+    import os
+
+    os.makedirs(dir_path, exist_ok=True)
+    ext = ".warc.gz" if compress else ".warc"
+    rows = df.select("url", "warc_ts", "status", "html")
+
+    def write_part(it) -> None:
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        name = f"part-{pid:05d}{ext}"
+        tmp = os.path.join(dir_path, f".{name}.tmp")
+        n = 0
+        f = None
+        try:
+            for r in it:
+                if f is None:
+                    f = open(tmp, "wb")
+                ts_iso = r["warc_ts"].strftime("%Y-%m-%dT%H:%M:%SZ")
+                rec = _record_bytes(r["url"], ts_iso, int(r["status"]), bytes(r["html"]))
+                f.write(gzip.compress(rec) if compress else rec)
+                n += 1
+        finally:
+            if f is not None:
+                f.close()
+        if n:
+            os.replace(tmp, os.path.join(dir_path, name))
+            with open(os.path.join(dir_path, f".{name}.count"), "w") as cf:
+                cf.write(str(n))
+
+    rows.foreachPartition(write_part)
+
+    parts = {}
+    for fn in sorted(os.listdir(dir_path)):
+        if fn.endswith(".count"):
+            with open(os.path.join(dir_path, fn)) as cf:
+                parts[fn[1 : -len(".count")]] = int(cf.read())
+            os.remove(os.path.join(dir_path, fn))
+    total = sum(parts.values())
+    with open(os.path.join(dir_path, "MANIFEST.json"), "w") as mf:
+        json.dump({"records": total, "parts": parts}, mf, indent=1, sort_keys=True)
+    return total
+
+
 def parse_warc_bytes(buf: bytes) -> Iterator[dict]:
-    """Parse concatenated WARC records (plain or multi-member gzip)."""
+    """Parse concatenated WARC records (plain or multi-member gzip).
+
+    Lenient by design (see module docstring): a record with an unparseable
+    Content-Length or truncated framing is skipped by resyncing to the next
+    ``WARC/1.`` marker; header bytes decode as latin-1 (never raises); a
+    corrupt gzip stream yields whatever decompressed cleanly before the
+    corruption. Real CC segments contain such records and one of them must
+    not kill the whole file's task.
+    """
     if buf[:2] == b"\x1f\x8b":
-        # GzipFile reads across concatenated members
-        buf = gzip.GzipFile(fileobj=io.BytesIO(buf)).read()
+        # GzipFile reads across concatenated members; chunked so a corrupt
+        # member keeps everything that decompressed before it.
+        import zlib
+
+        gz = gzip.GzipFile(fileobj=io.BytesIO(buf))
+        chunks = []
+        try:
+            while True:
+                c = gz.read(1 << 20)
+                if not c:
+                    break
+                chunks.append(c)
+        except (OSError, EOFError, zlib.error):
+            pass
+        buf = b"".join(chunks)
     pos, n = 0, len(buf)
     while pos < n:
         if not buf.startswith(b"WARC/", pos):
@@ -109,8 +202,15 @@ def parse_warc_bytes(buf: bytes) -> Iterator[dict]:
         headers: dict[str, str] = {}
         for line in buf[pos:hdr_end].split(_CRLF)[1:]:
             k, _, v = line.partition(b":")
-            headers[k.strip().lower().decode()] = v.strip().decode()
-        length = int(headers.get("content-length", "0"))
+            headers[k.strip().lower().decode("latin-1")] = v.strip().decode("latin-1")
+        try:
+            length = int(headers.get("content-length", "0"))
+            if length < 0:
+                raise ValueError(length)
+        except ValueError:
+            # unframeable record: resync to the next WARC marker
+            pos = hdr_end + 4
+            continue
         payload = buf[hdr_end + 4 : hdr_end + 4 + length]
         pos = hdr_end + 4 + length + 4  # skip the two trailing CRLFs
         if headers.get("warc-type") != "response":
@@ -122,7 +222,10 @@ def parse_warc_bytes(buf: bytes) -> Iterator[dict]:
             if pe >= 0:
                 status_line = payload[: payload.find(_CRLF)].decode("latin-1")
                 parts = status_line.split(" ")
-                status = int(parts[1]) if len(parts) > 1 else None
+                try:
+                    status = int(parts[1]) if len(parts) > 1 else None
+                except ValueError:
+                    status = None
                 body = payload[pe + 4 :]
         yield {
             "url": headers.get("warc-target-uri"),
@@ -142,6 +245,15 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
     files = spark.read.format("binaryFile").load(path).select("content")
 
     def fn(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        def parse_ts(s):
+            if not s:
+                return None
+            try:
+                ts = pd.Timestamp(s)
+            except (ValueError, TypeError):  # malformed WARC-Date → NULL ts
+                return None
+            return ts.tz_localize(None) if ts.tzinfo is not None else ts
+
         for b in batches:
             out = []
             for content in b["content"]:
@@ -149,9 +261,7 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
                     out.append(
                         {
                             "url": rec["url"],
-                            "warc_ts": pd.Timestamp(rec["warc_date"]).tz_localize(None)
-                            if rec["warc_date"]
-                            else None,
+                            "warc_ts": parse_ts(rec["warc_date"]),
                             "status": rec["status"],
                             "html": rec["html"],
                             "n_bytes": len(rec["html"]),

@@ -287,3 +287,44 @@ def test_revalidate_header_freshness(spark):
     assert d["u/only-cached"] == "fresh"
     assert d["u/req-no-store"] == "bypass"
     assert d["u/auth"] == "bypass"
+
+
+def test_revalidate_strict_no_heuristic_lifetime(spark):
+    """max_age_seconds=None (reference-exact strict mode): a response with
+    a Date but no max-age/Expires gets NO heuristic lifetime — fresh() in
+    rfc7234.go:104-116 leaves lifetime zero and the row validates; rows
+    with an explicit lifetime behave as before. Legacy (non-faithful) mode
+    rejects None outright."""
+    import pytest
+
+    from ant_spark.operators.cache import revalidate
+
+    recent = NOW - dt.timedelta(minutes=30)
+    rows = [
+        # date-only, 30min old: heuristic default 3600 would call it fresh
+        ("u/date-only", recent, "e1", recent, None),
+        # explicit Expires 3h out: fresh either way
+        ("u/expires-ok", recent, "e1", recent, recent + dt.timedelta(hours=3)),
+    ]
+    cached = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["url", "warc_ts", "etag", "date_h", "expires_h"]),
+        schema="url string, warc_ts timestamp, etag string, "
+               "date_h timestamp, expires_h timestamp",
+    ).withColumn("status", F.lit(200)).withColumn(
+        "last_modified", F.lit(None).cast("string")
+    )
+    origin = _df(spark, [(r[0], NOW, 200, r[2], None) for r in rows])
+
+    heur = revalidate(cached, origin, F.lit(NOW), max_age_seconds=3600,
+                      date_col="date_h", expires_col="expires_h")
+    d = {r["url"]: r["decision"] for r in heur.collect()}
+    assert d["u/date-only"] == "fresh"  # the deliberate extension
+
+    strict = revalidate(cached, origin, F.lit(NOW), max_age_seconds=None,
+                        date_col="date_h", expires_col="expires_h")
+    d = {r["url"]: r["decision"] for r in strict.collect()}
+    assert d["u/date-only"] == "revalidated"  # reference-exact
+    assert d["u/expires-ok"] == "fresh"
+
+    with pytest.raises(ValueError, match="faithful"):
+        revalidate(cached, origin, F.lit(NOW), max_age_seconds=None)

@@ -29,3 +29,54 @@ def test_curate_stages(spark):
     assert st["exact_unique"] == 3  # doc 1 collapsed into 0
     assert kept_ids == [0, 5]  # doc 2 removed as near-dup of 0
     assert st["kept"] == 2
+
+
+# Shared-sink shape where the two drop policies genuinely diverge: docs 10
+# and 11 are each near-dups of the bridge 12, but not of each other.
+# Pairwise drops doc_b of every confirmed pair → only {12} drops (kept
+# 10 AND 11, two docs of one duplicate cluster); components clusters
+# {10,11,12} and keeps exactly the min representative 10.
+_BASE = ("the quick brown fox jumps over the lazy dog while the old man "
+         "walks along the river bank at dawn").split()
+_VAR_A = _BASE[:-4] + "near the quiet harbour".split()
+_VAR_B = "a small grey cat sits".split() + _BASE[5:]
+CHAIN_DOCS = [
+    (10, " ".join(_VAR_A)),
+    (11, " ".join(_VAR_B)),
+    (12, " ".join(_BASE)),
+    (13, "The completely separate report is about the budget of the state "
+         "and the vote in the house on the day of the count."),
+]
+
+
+def test_curate_components_vs_pairwise(spark):
+    from pyspark.sql import functions as F
+
+    from ant_spark.operators import textops as T
+
+    docs = spark.createDataFrame(CHAIN_DOCS, "doc_id long, text string")
+    # precondition: the similarity structure really is a shared sink
+    pairs = T.minhash_candidate_pairs(docs, "text", 8, 4, 3, "md5")
+    jac = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in T.jaccard_pairs(docs, pairs, "text", 3).collect()
+    }
+    assert jac[(10, 12)] >= 0.5 and jac[(11, 12)] >= 0.5
+    assert jac.get((10, 11), 0.0) < 0.5
+
+    kw = dict(langs=("en",), min_quality=0.2, jaccard_threshold=0.5,
+              n_hashes=8, n_bands=4, k=3)
+    kept_pw, stats_pw = curate(docs, **kw)  # default pairwise
+    kept_cc, stats_cc = curate(docs, near_dup="components", **kw)
+    assert sorted(r["doc_id"] for r in kept_pw.collect()) == [10, 11, 13]
+    assert sorted(r["doc_id"] for r in kept_cc.collect()) == [10, 13]
+    assert {r["stage"]: r["n"] for r in stats_pw.collect()}["kept"] == 3
+    assert {r["stage"]: r["n"] for r in stats_cc.collect()}["kept"] == 2
+
+
+def test_curate_rejects_bad_near_dup(spark):
+    import pytest
+
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+    with pytest.raises(ValueError, match="near_dup"):
+        curate(docs, near_dup="clusters")

@@ -42,3 +42,11 @@ def test_degrees(spark):
     )
     got = {r["id"]: (r["out_degree"], r["in_degree"]) for r in degrees(df).collect()}
     assert got == {1: (2, 1), 2: (1, 1), 3: (0, 1)}
+
+
+def test_pagerank_empty_edges(spark):
+    """No edges: empty (id, rank_scaled, rank) result, no ZeroDivisionError."""
+    e = spark.createDataFrame([], "src long, dst long")
+    out = pagerank(e, n_iter=3)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == ["id", "rank_scaled", "rank"]

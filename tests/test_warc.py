@@ -66,3 +66,75 @@ def test_crawl_from_warc(spark, warc_file):
         "/", "about.html", "products.html", "a.html", "b.html"
     ]
     assert [r["seq"] for r in rows] == [0, 1, 2, 4, 5]
+
+
+def test_parse_warc_malformed_records():
+    """Real-CC leniency: a bad Content-Length, non-UTF8 header bytes, or a
+    truncated record must not kill the parse — bad records skip (resync to
+    the next WARC marker), good neighbours survive."""
+    from ant_spark.sources.warc import _record_bytes
+
+    good1 = _record_bytes("http://a/", "2025-01-01T00:00:00Z", 200, b"<p>a</p>")
+    good2 = _record_bytes("http://b/", "2025-01-01T00:00:00Z", 200, b"<p>b</p>")
+    bad_len = (
+        b"WARC/1.0\r\nWARC-Type: response\r\n"
+        b"WARC-Target-URI: http://bad/\r\n"
+        b"Content-Length: oops\r\n\r\nHTTP/1.1 200 OK\r\n\r\nx\r\n\r\n"
+    )
+    bad_hdr = (  # latin-1 high bytes in a header value: decodes, not raises
+        b"WARC/1.0\r\nWARC-Type: response\r\n"
+        b"WARC-Target-URI: http://\xe9\xfc/\r\n"
+        b"Content-Length: 3\r\n\r\nxyz\r\n\r\n"
+    )
+    recs = list(parse_warc_bytes(good1 + bad_len + bad_hdr + good2))
+    urls = [r["url"] for r in recs]
+    assert "http://a/" in urls and "http://b/" in urls
+    assert "http://bad/" not in urls  # unframeable → skipped
+    assert any(u.startswith("http://\xe9") for u in urls)  # latin-1 decoded
+    # corrupt gzip: yields nothing, raises nothing
+    assert list(parse_warc_bytes(b"\x1f\x8b\x08" + b"\x00" * 40)) == []
+    # bad status line: record survives with NULL status
+    bad_status = (
+        b"WARC/1.0\r\nWARC-Type: response\r\n"
+        b"WARC-Target-URI: http://s/\r\nContent-Length: 27\r\n\r\n"
+        b"HTTP/1.1 2x0 OK\r\n\r\n<p>s</p>\r\n\r\n"
+    )
+    (rec,) = parse_warc_bytes(bad_status)
+    assert rec["url"] == "http://s/" and rec["status"] is None
+
+
+def test_read_warc_malformed_date(spark, tmp_path):
+    """A malformed WARC-Date yields a NULL warc_ts row, not a task kill."""
+    from ant_spark.sources.warc import _record_bytes
+
+    rec = _record_bytes("http://d/", "not-a-date", 200, b"<p>d</p>")
+    p = tmp_path / "bad_date.warc"
+    p.write_bytes(rec)
+    (row,) = read_warc(spark, str(p)).collect()
+    assert row["url"] == "http://d/" and row["warc_ts"] is None
+    assert bytes(row["html"]) == b"<p>d</p>"
+
+
+def test_write_warc_distributed_roundtrip(spark, tmp_path):
+    """Production sink: foreachPartition part-files + MANIFEST; read_warc
+    over the part glob recovers every record byte-identically."""
+    import json
+
+    from ant_spark.sources.warc import write_warc_distributed
+
+    pages_pdf, _, _ = example_site()
+    df = spark.createDataFrame(pages_pdf, schema=schemas.PAGES).repartition(3)
+    out_dir = str(tmp_path / "warc_out")
+    n = write_warc_distributed(df, out_dir)
+    assert n == 6
+    manifest = json.load(open(f"{out_dir}/MANIFEST.json"))
+    assert manifest["records"] == 6
+    assert sum(manifest["parts"].values()) == 6
+    assert all(k.startswith("part-") for k in manifest["parts"])
+    back = {r["url"]: r for r in read_warc(spark, f"{out_dir}/part-*.warc.gz").collect()}
+    assert len(back) == 6
+    for row in pages_pdf.to_dict("records"):
+        got = back[row["url"]]
+        assert bytes(got["html"]) == bytes(row["html"])
+        assert got["status"] == row["status"]
+        assert got["warc_ts"] == row["warc_ts"].replace(tzinfo=None)
