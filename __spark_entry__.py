@@ -585,6 +585,21 @@ def _q_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept
 
 
+def _q_curation_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation chain with the chain-correct near-dup policy: confirmed
+    pairs cluster via connected components and exactly one representative
+    (min doc_id) per cluster survives — no over-deletion on duplicate
+    chains a-b-c (curate(near_dup='components'))."""
+    from ant_spark.operators.curation import curate
+
+    docs = _t(spark, sf_dir, "documents")
+    kept, _ = curate(
+        docs, langs=("en",), min_quality=0.5, jaccard_threshold=0.8,
+        n_hashes=8, n_bands=4, k=3, near_dup="components",
+    )
+    return kept
+
+
 # --- embeddings / similarity search -----------------------------------------
 
 
@@ -804,6 +819,37 @@ def _q_crawl_render(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.fetched_log.select("seq", "url", "status", "n_links").orderBy("seq")
 
 
+def _q_crawl_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph-signal-driven priority crawl e2e: PageRank over the hub site's
+    own link graph (in-degree-3 hub) feeds rank_priority_fn; under a
+    1-fetch/round budget with queue_policy='priority' the hub and its
+    child overtake the earlier-discovered p1/p2 (fetch ROUNDS reorder to
+    rank order while bfs seq still records discovery order). Deterministic
+    → VALUES-pinned oracle."""
+    from ant_spark import schemas
+    from ant_spark.engine import CrawlConfig, Engine
+    from ant_spark.functions.parse import make_links_udf
+    from ant_spark.operators.graphops import pagerank, rank_priority_fn
+    from ant_spark.sources.webgraph import example_hub_site
+
+    pages_pdf, _, seeds = example_hub_site()
+    pages = spark.createDataFrame(pages_pdf, schema=schemas.PAGES)
+    links_udf = make_links_udf()
+    edges = pages.select(
+        F.col("url").alias("src"),
+        F.explode(links_udf(F.col("url"), F.col("html"))).alias("dst"),
+    )
+    prio = rank_priority_fn(pagerank(edges, n_iter=3), key_col="url")
+    res = Engine(
+        spark, pages, None,
+        CrawlConfig(
+            max_rounds=12, ordering="bfs", host_rates={"example.com": 1},
+            queue_policy="priority", priority_fn=prio,
+        ),
+    ).run(seeds)
+    return res.fetched_log.select("round", "seq", "url").orderBy("seq")
+
+
 def _q_warc_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WARC source round-trip (the Common Crawl interchange format): the
     golden site serialized as per-record-gzip WARC/1.0 response records,
@@ -867,6 +913,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_minhash_lsh_pairs": _q_minhash_lsh_pairs,
         "text_curation_pipeline": _q_curation,
         "text_curation_full": _q_curation_full,
+        "text_curation_components": _q_curation_components,
         "text_sample_mix": _q_sample_mix,
         "text_decontaminate": _q_decontaminate,
         "text_near_dup_components": _q_near_dup_components,
@@ -885,6 +932,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # non-SQL (rows-only)
         "crawl_e2e_visited": _q_crawl_e2e,
         "crawl_render_visited": _q_crawl_render,
+        "crawl_priority_order": _q_crawl_priority,
         "crawl_warc_source": _q_warc_source,
         "media_features_stub": _q_media_features,
     }
@@ -1490,6 +1538,56 @@ def oracle_sql() -> dict[str, str]:
             FROM exact_kept
             WHERE doc_id NOT IN (SELECT db FROM conf)
         """,
+        "text_curation_components": f"""
+            WITH RECURSIVE enriched AS (
+              SELECT doc_id, text,
+                {_lang_score_sql()} AS lang_id,
+                {_quality_sql()} AS quality,
+                {_TOKEN_SQL}::INT AS n_tokens,
+                md5({_NORM_TEXT_SQL}) AS fp
+              FROM documents),
+            qual AS (
+              SELECT * FROM enriched
+              WHERE lang_id IN ('en') AND quality >= 0.5),
+            exact_kept AS (
+              SELECT * FROM (
+                SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+                FROM qual) WHERE rn = 1),
+            sig AS (
+              SELECT doc_id,
+                {', '.join(f"list_aggregate(list_transform({_SHINGLES_SQL}, x -> md5('{i}:' || x)), 'min') AS h{i}" for i in range(8))}
+              FROM exact_kept),
+            banded AS (
+              {' UNION ALL '.join(f"SELECT doc_id, {b} AS band_idx, md5(h{2*b} || '|' || h{2*b+1}) AS band_key FROM sig" for b in range(4))}),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+              FROM banded a JOIN banded b
+                ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+               AND a.doc_id < b.doc_id),
+            shd AS (
+              SELECT doc_id, list_distinct({_SHINGLES_SQL}) AS sd FROM exact_kept),
+            conf AS (
+              SELECT da, db FROM cand
+              JOIN shd a ON cand.da = a.doc_id
+              JOIN shd b ON cand.db = b.doc_id
+              WHERE round(len(list_intersect(a.sd, b.sd))::DOUBLE
+                    / (len(a.sd) + len(b.sd) - len(list_intersect(a.sd, b.sd))), 4) >= 0.8),
+            edges AS (
+              SELECT da AS src, db AS dst FROM conf
+              UNION SELECT db, da FROM conf),
+            comp AS (
+              SELECT DISTINCT src AS id, src AS label FROM edges
+              UNION
+              SELECT e.dst AS id, c.label
+              FROM comp c JOIN edges e ON c.id = e.src),
+            -- drop every cluster member except the min-label representative
+            dropped AS (
+              SELECT id AS doc_id FROM comp GROUP BY id
+              HAVING id <> min(label))
+            SELECT doc_id, lang_id, quality, n_tokens
+            FROM exact_kept
+            WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
+        """,
         "text_curation_full": f"""
             WITH salted AS (
               SELECT doc_id, text
@@ -1824,6 +1922,20 @@ def oracle_sql() -> dict[str, str]:
               (4, 'http://example.com/a.html', 200, 0),
               (5, 'http://example.com/b.html', 200, 0)
             ) AS t(seq, url, status, n_links)
+        """,
+        # crawl_priority_order: deterministic rank-ordered crawl of the hub
+        # site — bfs seq pins discovery order (/, p1, p2, hub, x = 0..4)
+        # while the fetch ROUND follows PageRank: hub (in-degree 3) round 1,
+        # its child x round 2, then p1/p2 (tie → seq order) rounds 3/4.
+        "crawl_priority_order": """
+            SELECT round::INT AS round, seq::BIGINT AS seq, url
+            FROM (VALUES
+              (0, 0, 'http://example.com/'),
+              (3, 1, 'http://example.com/p1.html'),
+              (4, 2, 'http://example.com/p2.html'),
+              (1, 3, 'http://example.com/hub.html'),
+              (2, 4, 'http://example.com/x.html')
+            ) AS t(round, seq, url)
         """,
         # crawl_render_visited: like the flagship, the engine run is not
         # SQL-expressible but the JS golden site's rendered crawl output is

@@ -24,6 +24,8 @@ correctness gate cannot tolerate.
 
 from __future__ import annotations
 
+from typing import Callable, Mapping
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -118,3 +120,48 @@ def pagerank(
     finally:
         nodes.unpersist()
         out_deg.unpersist()
+
+
+def rank_priority_fn(
+    ranks: DataFrame | Mapping,
+    key_col: str = "url",
+    rank_col: str = "rank_scaled",
+    default: int = 0,
+) -> Callable:
+    """Compose a graph rank signal into the engine's priority queue: returns
+    a ``CrawlConfig.priority_fn`` (closure → Column) assigning newly
+    discovered links priority ``-rank`` so HIGHER-ranked pages dequeue
+    FIRST under ``queue_policy='priority'`` (lower priority value wins —
+    the reference Queue seam, queue.go:12-49, generalized).
+
+    ``ranks``: either a (id, rank) DataFrame — e.g. ``pagerank()`` output,
+    collected here (one driver pull of the signal table) — or a prebuilt
+    mapping. The signal rides the plan as a literal map, the plan-level
+    equivalent of a broadcast dim: right for HOST-level or head-URL-level
+    signals (10^4-10^6 entries). URL-level priorities over a 10^10
+    frontier do NOT fit a literal/broadcast — that shape wants the rank
+    table joined onto new links inside the round (the same storage-
+    bucketed equi-join idiom as the fetch join); this helper is the
+    driver-signal fast path, not that join.
+
+    ``key_col`` picks which link column keys the lookup (``url`` or, for
+    host-level signals, pair with an engine-side host column). Unknown
+    keys get ``-default``.
+    """
+    if isinstance(ranks, DataFrame):
+        id_c = key_col if key_col in ranks.columns else "id"  # pagerank's id
+        mapping = {r[0]: r[1] for r in ranks.select(id_c, rank_col).collect()}
+    else:
+        mapping = dict(ranks)
+
+    def prio() -> F.Column:
+        if not mapping:
+            return F.lit(-float(default))
+        lookup = F.create_map(
+            *[F.lit(x) for kv in mapping.items() for x in kv]
+        )
+        return -F.coalesce(
+            lookup[F.col(key_col)].cast("double"), F.lit(float(default))
+        )
+
+    return prio

@@ -423,3 +423,62 @@ def example_js_site(host: str = "js.example.com") -> tuple[pd.DataFrame, pd.Data
         columns=["host", "status", "body", "crawl_delay", "fetched_round"]
     )
     return pages, robots, [f"http://{host}/"]
+
+
+# Hub-shaped fixture for graph-signal-driven priority crawling
+# (graphops.pagerank → rank_priority_fn → queue_policy='priority'): /hub.html
+# has in-degree 3 and /x.html hangs off the hub, so a rank-ordered crawl
+# under a 1-fetch/round budget visits hub (and then x) BEFORE p1/p2, while
+# FIFO visits in discovery order — the reorder is observable and
+# deterministic, so the crawl output pins as a VALUES oracle.
+_HUB_PAGES: dict[str, str] = {
+    "/": (
+        "<!DOCTYPE html>\n<html>\n  <head><title>Hub demo</title></head>\n"
+        "  <body>\n    <a href=\"/p1.html\">p1</a>\n"
+        "    <a href=\"/p2.html\">p2</a>\n    <a href=\"/hub.html\">hub</a>\n"
+        "  </body>\n</html>\n"
+    ),
+    "/p1.html": (
+        "<!DOCTYPE html>\n<html>\n  <head><title></title></head>\n"
+        "  <body>\n    <a href=\"/hub.html\">hub</a>\n  </body>\n</html>\n"
+    ),
+    "/p2.html": (
+        "<!DOCTYPE html>\n<html>\n  <head><title></title></head>\n"
+        "  <body>\n    <a href=\"/hub.html\">hub</a>\n  </body>\n</html>\n"
+    ),
+    "/hub.html": (
+        "<!DOCTYPE html>\n<html>\n  <head><title></title></head>\n"
+        "  <body>\n    <a href=\"/x.html\">x</a>\n  </body>\n</html>\n"
+    ),
+    "/x.html": (
+        "<!DOCTYPE html>\n<html>\n  <head><title></title></head>\n"
+        "  <body>\n    terminal page\n  </body>\n</html>\n"
+    ),
+}
+
+
+def example_hub_site(host: str = "example.com") -> tuple[pd.DataFrame, pd.DataFrame, list[str]]:
+    """Hub-shaped golden mini-site (see _HUB_PAGES) for the PageRank-fed
+    priority-crawl composition; no robots rules."""
+    from ant_spark.functions.htmldom import parse as _parse
+    from ant_spark.functions.htmldom import text as _text
+
+    base = dt.datetime(2025, 1, 1, tzinfo=dt.timezone.utc)
+    rows = []
+    for i, (path, html) in enumerate(sorted(_HUB_PAGES.items())):
+        rows.append(
+            {
+                "url": f"http://{host}{path}",
+                "warc_ts": base + dt.timedelta(seconds=i),
+                "html": html.encode("utf-8"),
+                "text": _text(_parse(html)),
+                "lang": "en",
+                "status": 200,
+                "ok_after_attempt": None,
+            }
+        )
+    pages = pd.DataFrame(rows)
+    robots = pd.DataFrame(
+        columns=["host", "status", "body", "crawl_delay", "fetched_round"]
+    )
+    return pages, robots, [f"http://{host}/"]

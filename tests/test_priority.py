@@ -36,3 +36,43 @@ def test_priority_dequeue_order(spark):
         "http://example.com/a.html",
         "http://example.com/b.html",
     }
+
+
+def test_pagerank_fed_priority_crawl(spark):
+    """The graph-signal composition end-to-end (graphops module promise):
+    PageRank over the site's own link graph feeds rank_priority_fn;
+    under a 1-fetch/round budget the high-rank hub (in-degree 3) and its
+    child jump the queue ahead of the earlier-discovered p1/p2, while
+    FIFO fetches in discovery order."""
+    from ant_spark.functions.parse import make_links_udf
+    from ant_spark.operators.graphops import pagerank, rank_priority_fn
+    from ant_spark.sources.webgraph import example_hub_site
+
+    pages_pdf, robots_pdf, seeds = example_hub_site()
+    pages = spark.createDataFrame(pages_pdf, schema=schemas.PAGES)
+
+    links_udf = make_links_udf()
+    edges = pages.select(
+        F.col("url").alias("src"),
+        F.explode(links_udf(F.col("url"), F.col("html"))).alias("dst"),
+    )
+    ranks = pagerank(edges, n_iter=3)
+    prio = rank_priority_fn(ranks, key_col="url")
+
+    base = dict(max_rounds=12, host_rates={"example.com": 1}, ordering="bfs")
+    res_pr = Engine(
+        spark, pages, None,
+        CrawlConfig(queue_policy="priority", priority_fn=prio, **base),
+    ).run(seeds)
+    order_pr = [
+        r["url"].rsplit("/", 1)[-1] or "/"
+        for r in res_pr.fetched_log.orderBy("round").collect()
+    ]
+    assert order_pr == ["/", "hub.html", "x.html", "p1.html", "p2.html"]
+
+    res_fifo = Engine(spark, pages, None, CrawlConfig(**base)).run(seeds)
+    order_fifo = [
+        r["url"].rsplit("/", 1)[-1] or "/"
+        for r in res_fifo.fetched_log.orderBy("round").collect()
+    ]
+    assert order_fifo == ["/", "p1.html", "p2.html", "hub.html", "x.html"]
