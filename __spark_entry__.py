@@ -878,6 +878,21 @@ def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_media_features_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL decode path, hash-checked: deterministic binary PPM/PGM/BMP
+    payloads (synth_uncompressed_media — pixel values are pure arithmetic
+    of media_id) through the pure-numpy decoder + chunk-mean features.
+    Decoder and fixture are both deterministic, so the features freeze as
+    FLOAT4 oracle literals (regenerate: tools/freeze_media_features.py)."""
+    from ant_spark.operators.multimodal import extract_features, synth_uncompressed_media
+
+    media = spark.createDataFrame(
+        synth_uncompressed_media(),
+        schema="media_id long, kind string, payload binary",
+    )
+    return extract_features(media, dim=4, decoder="real")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # crawl-engine primitives (SURVEY.md §2)
@@ -935,6 +950,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_priority_order": _q_crawl_priority,
         "crawl_warc_source": _q_warc_source,
         "media_features_stub": _q_media_features,
+        "media_features_real": _q_media_features_real,
     }
 
 
@@ -1963,4 +1979,20 @@ def oracle_sql() -> dict[str, str]:
         # media_features_stub: intentionally no oracle (mapInPandas stub
         # kernel is not SQL-expressible) → the driver records the weaker
         # rows-only check.
+        # media_features_real: the real-decoder twin IS hash-checked — the
+        # fixture and decoder are deterministic, so the expected features
+        # freeze as FLOAT4 literals (exact float32→double widening parity;
+        # regenerate with tools/freeze_media_features.py).
+        "media_features_real": """
+            SELECT media_id::BIGINT AS media_id, kind,
+                   n_bytes::BIGINT AS n_bytes, feature
+            FROM (VALUES
+              (0, 'ppm', 71, [0.42875799536705017::DOUBLE::FLOAT4, 0.4718950092792511::DOUBLE::FLOAT4, 0.44810500741004944::DOUBLE::FLOAT4, 0.491241991519928::DOUBLE::FLOAT4]),
+              (1, 'pgm', 41, [0.5088239908218384::DOUBLE::FLOAT4, 0.6352940201759338::DOUBLE::FLOAT4, 0.5753499865531921::DOUBLE::FLOAT4, 0.5019609928131104::DOUBLE::FLOAT4]),
+              (2, 'bmp', 150, [0.5641459822654724::DOUBLE::FLOAT4, 0.4638659954071045::DOUBLE::FLOAT4, 0.5070030093193054::DOUBLE::FLOAT4, 0.5501400232315063::DOUBLE::FLOAT4]),
+              (3, 'ppm', 86, [0.524370014667511::DOUBLE::FLOAT4, 0.4477120041847229::DOUBLE::FLOAT4, 0.4106749892234802::DOUBLE::FLOAT4, 0.42941200733184814::DOUBLE::FLOAT4]),
+              (4, 'pgm', 35, [0.5248370170593262::DOUBLE::FLOAT4, 0.40065398812294006::DOUBLE::FLOAT4, 0.443791002035141::DOUBLE::FLOAT4, 0.48692798614501953::DOUBLE::FLOAT4]),
+              (5, 'bmp', 174, [0.3995639979839325::DOUBLE::FLOAT4, 0.5167760252952576::DOUBLE::FLOAT4, 0.6339870095252991::DOUBLE::FLOAT4, 0.44117599725723267::DOUBLE::FLOAT4])
+            ) AS t(media_id, kind, n_bytes, feature)
+        """,
     }

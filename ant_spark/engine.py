@@ -37,6 +37,7 @@ mode — matches the reference's Workers>1 "any order" semantics).
 from __future__ import annotations
 
 import json
+import math
 import os
 import tempfile
 import time
@@ -104,6 +105,16 @@ class CrawlConfig:
     # 'all' (reference-exact: every matching limiter binds, chained per-rule
     # windows) | 'first_match' (one window; identical for disjoint rules)
     pattern_rule_mode: str = "all"
+    # robots freshness TTL (internal/robots/cache.go:36-78: entries expire
+    # after maxAge=1h and the next Allowed() triggers a re-fetch). None
+    # (default) = static robots snapshot, the single-shot-crawl behavior.
+    # A value makes the input robots df a FEED: with an optional
+    # valid_from_round column the version live at round r is the row with
+    # max valid_from_round <= r per host; the engine stamps each host's
+    # cached version with fetched_round and re-reads it only once its age
+    # (rounds x round_seconds) reaches the TTL — so a robots flip mid-crawl
+    # changes allow/deny exactly when the reference's cache would re-fetch.
+    robots_max_age_seconds: float | None = None
     max_age_seconds: float | None = None  # cache freshness (S5); needs crawl_ts
     crawl_ts: Any = None  # datetime 'now' for freshness tests
     # S4 render seam (antcdp/client.go — a pluggable client that returns
@@ -244,6 +255,7 @@ class Engine:
         self._parse_udf = make_parse_udf(self.cfg.scrape_spec, self.cfg.link_selector)
         self._robots_has_delay: bool | None = None
         self._robots_empty: bool | None = None
+        self._robots_cache: DataFrame | None = None  # TTL mode per-host cache
         self._max_delay_budget: int | None = None
         if self.cfg.dedupe.startswith("bloom"):
             self._bloom = BloomSidecar(self.cfg.bloom_buckets, self.cfg.bloom_bits)
@@ -285,6 +297,57 @@ class Engine:
         if self._robots_empty is None:
             self._robots_empty = self.robots.limit(1).count() == 0
         return self._robots_empty
+
+    def _robots_for_round(self, r: int) -> DataFrame:
+        """The robots dim the round's broadcast join should see.
+
+        Static mode (robots_max_age_seconds=None): the input snapshot,
+        unchanged. TTL mode: per-host versions cached with a fetched_round
+        stamp; a host re-reads from the feed (max valid_from_round <= r per
+        host) only when its cached age reaches the TTL — the BSP analogue
+        of the reference's 1h robots cache expiry (cache.go:36-78). The
+        cache is dim-sized (one row per host), so the per-round upkeep is
+        one anti-join over a broadcast-scale table, eagerly
+        local-checkpointed to keep lineage O(1) across rounds. On resume
+        the cache rebuilds from the feed at the resumed round (a fresh
+        re-fetch — conservative and always robots-compliant).
+        """
+        cfg = self.cfg
+        if cfg.robots_max_age_seconds is None:
+            return self.robots
+        ttl_rounds = max(1, math.ceil(cfg.robots_max_age_seconds / cfg.round_seconds))
+        feed = self.robots
+        if "valid_from_round" in feed.columns:
+            wv = Window.partitionBy("host").orderBy(
+                F.col("valid_from_round").desc_nulls_last()
+            )
+            active = (
+                feed.filter(F.coalesce(F.col("valid_from_round"), F.lit(0)) <= r)
+                .withColumn("_rn", F.row_number().over(wv))
+                .filter(F.col("_rn") == 1)
+                .drop("_rn", "valid_from_round")
+            )
+        else:
+            active = feed
+        active = active.drop("fetched_round").withColumn(
+            "fetched_round", F.lit(r).cast("int")
+        )
+        if self._robots_cache is None:
+            cur = active
+        else:
+            keep = self._robots_cache.filter(
+                F.lit(r) - F.col("fetched_round") < F.lit(ttl_rounds)
+            )
+            # stale hosts AND hosts newly appearing in the feed re-read
+            refreshed = active.join(
+                keep.select(F.col("host").alias("_h")),
+                active["host"] == F.col("_h"),
+                "left_anti",
+            )
+            cur = keep.unionByName(refreshed)
+        cur = cur.localCheckpoint(eager=True)
+        self._robots_cache = cur
+        return cur
 
     def _politeness_static_off(self) -> bool:
         """True when no budget can ever bind: no host/global rates configured
@@ -712,7 +775,7 @@ class Engine:
                 denied = rb.filter(F.lit(False))
             else:
                 rb = robots_ops.with_robots(
-                    eligible, self.robots, cfg.ua, path_of(F.col("url"))
+                    eligible, self._robots_for_round(r), cfg.ua, path_of(F.col("url"))
                 )
                 if observe:
                     rb = rb.observe(

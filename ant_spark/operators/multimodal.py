@@ -99,6 +99,47 @@ def synth_media(n: int, seed: int = 42) -> pd.DataFrame:
     return pdf
 
 
+def synth_uncompressed_media(n: int = 6) -> pd.DataFrame:
+    """Deterministic REAL image payloads (binary PPM/PGM/uncompressed BMP24
+    in rotation) — the fixture behind the hash-checked ``media_features_real``
+    oracle. Pure arithmetic function of media_id: pixel (y,x) of image i is
+    ``(x*37 + y*11 + i*53) mod 256``, so every byte regenerates identically
+    and the decoded features freeze as oracle literals (the ivf_trained
+    freezing pattern). Columns: (media_id, kind=format name, payload)."""
+    rows = []
+    for i in range(n):
+        w, h = 5 + (i % 3), 4 + (i % 2)
+        y, x = np.mgrid[0:h, 0:w]
+        px = ((x * 37 + y * 11 + i * 53) % 256).astype(np.uint8)
+        kind = ("ppm", "pgm", "bmp")[i % 3]
+        if kind == "ppm":
+            rgb = np.stack(
+                [px, (px.astype(np.int32) + 17) % 256, (px.astype(np.int32) + 89) % 256],
+                axis=-1,
+            ).astype(np.uint8)
+            payload = b"P6\n%d %d\n255\n" % (w, h) + rgb.tobytes()
+        elif kind == "pgm":
+            payload = b"P5\n%d %d\n255\n" % (w, h) + px.tobytes()
+        else:  # bottom-up 24-bit BI_RGB BMP, rows padded to 4 bytes
+            row_bytes = (w * 3 + 3) & ~3
+            data = bytearray()
+            for yy in range(h - 1, -1, -1):
+                row = bytearray()
+                for xx in range(w):
+                    v = int(px[yy, xx])
+                    row += bytes((v, v, v))  # B, G, R (gray)
+                row += b"\x00" * (row_bytes - len(row))
+                data += row
+            payload = (
+                b"BM"
+                + struct.pack("<IHHI", 54 + len(data), 0, 0, 54)
+                + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data), 2835, 2835, 0, 0)
+                + bytes(data)
+            )
+        rows.append({"media_id": i, "kind": kind, "payload": payload})
+    return pd.DataFrame(rows)
+
+
 def _fake_decode(payload: bytes, dim: int) -> list[float]:
     """Deterministic 'features' from byte statistics (the stub kernel)."""
     if payload is None or len(payload) < 16 or payload[:4] != _MAGIC:

@@ -87,3 +87,72 @@ def test_multiple_agents_one_group():
     rd = RobotsData.parse("User-agent: a\nUser-agent: b\nDisallow: /x\n")
     assert rd.allowed("/x", "a") is False
     assert rd.allowed("/x", "b") is False
+
+
+def test_robots_ttl_flip_mid_crawl(spark):
+    """CrawlConfig.robots_max_age_seconds (internal/robots/cache.go:36-78,
+    1h expiry → re-fetch): the robots feed flips to Disallow at round 1;
+    with a 2-round TTL the cached allow-all expires exactly when
+    /blocked.html becomes eligible (round 2) and the flip takes effect —
+    the page is denied. With a TTL longer than the crawl the original
+    snapshot rules throughout and the same page is fetched."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from ant_spark import schemas
+    from ant_spark.engine import CrawlConfig, Engine
+    from ant_spark.functions.htmldom import parse as _parse
+    from ant_spark.functions.htmldom import text as _text
+
+    chain = {
+        "/": '<html><head><title>t</title></head><body>'
+             '<a href="/mid.html">m</a></body></html>',
+        "/mid.html": '<html><head><title></title></head><body>'
+                     '<a href="/blocked.html">b</a></body></html>',
+        "/blocked.html": '<html><head><title></title></head><body>end</body></html>',
+    }
+    base = dt.datetime(2025, 1, 1, tzinfo=dt.timezone.utc)
+    pages = spark.createDataFrame(
+        pd.DataFrame(
+            [
+                {
+                    "url": f"http://example.com{p}",
+                    "warc_ts": base,
+                    "html": h.encode(),
+                    "text": _text(_parse(h)),
+                    "lang": "en",
+                    "status": 200,
+                    "ok_after_attempt": None,
+                }
+                for p, h in chain.items()
+            ]
+        ),
+        schema=schemas.PAGES,
+    )
+    feed = spark.createDataFrame(
+        [
+            ("example.com", 200, "User-Agent: *\nDisallow:\n", None, None, 0),
+            ("example.com", 200, "User-Agent: antbot\nDisallow: /blocked.html\n",
+             None, None, 1),
+        ],
+        "host string, status int, body string, crawl_delay double, "
+        "fetched_round int, valid_from_round int",
+    )
+    seeds = ["http://example.com/"]
+
+    def crawl(ttl):
+        res = Engine(
+            spark, pages, feed,
+            CrawlConfig(max_rounds=8, robots_max_age_seconds=ttl),
+        ).run(seeds)
+        return {
+            r["url"].rsplit("/", 1)[-1] or "/"
+            for r in res.fetched_log.collect()
+        }, res
+
+    got_short, res_short = crawl(2.0)  # ttl = 2 rounds at round_seconds=1
+    assert got_short == {"/", "mid.html"}  # flip applied at round 2
+
+    got_long, _ = crawl(100.0)  # never expires → original allow-all rules
+    assert got_long == {"/", "mid.html", "blocked.html"}
