@@ -867,6 +867,31 @@ def _q_warc_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_warc(spark, path).select("url", "status", "n_bytes")
 
 
+def _q_warc_tagsoup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real-web hardening e2e (round-5): crawl a WARC of out-of-subset
+    HTML5 pages — foster-parented links (crawled FIRST, per reordered DOM),
+    RAWTEXT/plaintext decoy links (never crawled), CDATA-in-svg text,
+    RCDATA entity decoding. Deterministic BFS output incl. the extracted
+    text pins as a VALUES oracle built from the same fixture constants."""
+    import tempfile
+
+    from ant_spark import schemas  # noqa: F401  (schema parity with test)
+    from ant_spark.engine import CrawlConfig, Engine
+    from ant_spark.sources.warc import read_warc, warc_to_pages, write_warc
+    from ant_spark.sources.webgraph import example_soup_site
+
+    pages_pdf, _, seeds = example_soup_site()
+    path = tempfile.mktemp(suffix=".warc.gz", prefix="ant_soup_")
+    write_warc(pages_pdf.to_dict("records"), path, compress=True)
+    pages = warc_to_pages(read_warc(spark, path))
+    res = Engine(
+        spark, pages, None, CrawlConfig(max_rounds=6, ordering="bfs")
+    ).run(seeds)
+    return res.fetched_log.select(
+        "seq", "url", "status", "n_links", "text"
+    ).orderBy("seq")
+
+
 def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: mapInPandas feature extraction (stub kernel)."""
     from ant_spark.operators.multimodal import MEDIA, extract_features, synth_media
@@ -949,6 +974,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_render_visited": _q_crawl_render,
         "crawl_priority_order": _q_crawl_priority,
         "crawl_warc_source": _q_warc_source,
+        "crawl_warc_tagsoup": _q_warc_tagsoup,
         "media_features_stub": _q_media_features,
         "media_features_real": _q_media_features_real,
     }
@@ -1061,6 +1087,28 @@ def _unigram_whens_sql() -> str:
         f"WHEN '{k}' THEN {int(round(v * 100))}"
         for k, v in EN_UNIGRAM_LOGP.items()
     )
+
+
+def _soup_values_sql() -> str:
+    """Expected crawl_warc_tagsoup rows from the fixture constants: BFS
+    order is deterministic (/ → fostered [foster-parented link precedes the
+    cell link] → cell → deep); the text literal is the fixture's reference
+    extracted text (what pages_pdf.text carries — the per-row byte-identical
+    invariant the crawl must log)."""
+    from ant_spark.functions.htmldom import parse as hparse
+    from ant_spark.functions.htmldom import text as htext
+    from ant_spark.sources.webgraph import _SOUP_PAGES
+
+    order = ["/", "/fostered.html", "/cell.html", "/deep.html"]
+    n_links = {"/": 2, "/fostered.html": 1, "/cell.html": 1, "/deep.html": 0}
+    rows = []
+    for seq, pth in enumerate(order):
+        t = htext(hparse(_SOUP_PAGES[pth])).replace("'", "''")
+        rows.append(
+            f"({seq}, 'http://soup.example.com{pth}', 200, "
+            f"{n_links[pth]}, '{t}')"
+        )
+    return ", ".join(rows)
 
 
 def _warc_values_sql() -> str:
@@ -1970,6 +2018,13 @@ def oracle_sql() -> dict[str, str]:
         # crawl_warc_source: round-trip identity — the expected rows are
         # computed from the SAME fixture constants the query serializes
         # (url, status 200, exact utf-8 byte length per page).
+        "crawl_warc_tagsoup": f"""
+            SELECT seq::BIGINT AS seq, url, status::INT AS status,
+                   n_links::INT AS n_links, text
+            FROM (VALUES
+              {_soup_values_sql()}
+            ) AS t(seq, url, status, n_links, text)
+        """,
         "crawl_warc_source": f"""
             SELECT url, status::INT AS status, n_bytes::BIGINT AS n_bytes
             FROM (VALUES

@@ -14,11 +14,22 @@ HTML5 tree-construction parser) with these exact semantics:
 
 No HTML library ships in this container, so this module builds a small DOM on
 ``html.parser.HTMLParser`` with the tree-construction subset that matters for
-a crawl corpus: implied <html>/<head>/<body>, void elements, script/style raw
-text, character-reference decoding in text, and implied-end-tag handling for
-``p``/``li``. It is NOT a full HTML5 parser; the synthetic corpus generator
-(ant_spark.sources.webgraph) emits HTML inside this subset, and golden tests
-pin the fixture pages' extracted text.
+a crawl corpus: implied <html>/<head>/<body>, void elements, the full HTML5
+raw-text element set (script/style/textarea/title/xmp/iframe/noembed/
+noframes/noscript/plaintext — tags inside are text, never links), RCDATA
+character-reference decoding (title/textarea), table foster parenting
+(non-table content moves before the table, reordering text/links like
+x/net/html does), CDATA sections as text in svg/math foreign content, and
+implied-end-tag handling for ``p``/``li``/table structure. It is NOT a full
+HTML5 parser — known residual gaps vs x/net/html, all rare on real pages:
+the adoption agency algorithm re-parents misnested formatting elements
+(text/link ORDER is unaffected, so extraction output matches), a stray
+``</plaintext>`` resumes parsing where the spec stays in PLAINTEXT to EOF,
+and implied tbody/tr synthesis inside tables is skipped (affects selector
+paths, not extraction). The synthetic corpus generator
+(ant_spark.sources.webgraph) emits HTML inside this subset; golden tests pin
+the fixture pages' extracted text, and a tag-soup differential fuzz pins
+stream/DOM agreement over the widened alphabet.
 
 Used exclusively inside Arrow-batched pandas UDFs (functions/parse.py) —
 driver code never touches per-row HTML.
@@ -28,6 +39,7 @@ from __future__ import annotations
 
 import re
 from functools import lru_cache
+from html import unescape as _unescape
 from html.parser import HTMLParser
 
 TEXT = 0
@@ -45,6 +57,31 @@ P_CLOSERS = frozenset(
     "h5 h6 header hr main nav ol p pre section table ul".split()
 )
 HEAD_ELEMENTS = frozenset("title meta link base style script noscript".split())
+# Raw-text content models (HTML5 tokenizer RAWTEXT/RCDATA/PLAINTEXT states):
+# everything up to the matching end tag is TEXT — tags inside contribute no
+# elements and no links, exactly as x/net/html tokenizes them (scripting
+# enabled, the reference's html.Parse default, makes noscript RAWTEXT too).
+# Subset note: after a stray explicit </plaintext> we resume parsing where
+# the spec would stay in PLAINTEXT to EOF — real pages don't close it.
+RAWTEXT_ELEMENTS = frozenset(
+    "script style textarea title xmp iframe noembed noframes noscript "
+    "plaintext".split()
+)
+# RCDATA (title/textarea) decodes character references; RAWTEXT does not.
+RCDATA_ELEMENTS = frozenset(("title", "textarea"))
+# HTML5 "in table" foster parenting: a start tag outside this set (or
+# non-whitespace text) appearing while the insertion point is a row/table
+# element is inserted BEFORE the nearest open table — x/net/html reorders
+# the tree (and thus scan.Text/Page.URLs order) accordingly.
+TABLE_SCOPE = frozenset("table tbody thead tfoot tr".split())
+TABLE_ALLOWED = frozenset(
+    "caption colgroup col thead tbody tfoot tr td th script style template "
+    "form".split()
+)
+_TABLE_STRUCTURAL = frozenset(
+    "tr td th tbody thead tfoot caption colgroup col".split()
+)
+_TABLE_BOUNDARY = TABLE_SCOPE | frozenset(("td", "th", "caption"))
 
 
 class Node:
@@ -101,6 +138,10 @@ def _text_into(node: Node, out: list[str]) -> None:
 
 class _DomParser(HTMLParser):
     """Tree builder with implied html/head/body and void/implied-end tags."""
+
+    # widen html.parser's script/style-only raw-text handling to the full
+    # HTML5 RAWTEXT/RCDATA/PLAINTEXT element set (tags inside become text)
+    CDATA_CONTENT_ELEMENTS = tuple(sorted(RAWTEXT_ELEMENTS))
 
     def __init__(self):
         super().__init__(convert_charrefs=True)
@@ -178,12 +219,35 @@ class _DomParser(HTMLParser):
             parent = self._implied_end(tag)
 
         node = Node(ELEMENT, tag, list(attrs))
-        parent.append(node)
+        if (
+            parent.type == ELEMENT
+            and parent.tag in TABLE_SCOPE
+            and tag not in TABLE_ALLOWED
+        ):
+            self._foster_insert(node, parent)
+        else:
+            parent.append(node)
         if tag not in VOID_ELEMENTS:
             self._stack.append(node)
 
+    def _foster_insert(self, node: Node, fallback: Node) -> None:
+        """HTML5 foster parenting: insert ``node`` immediately before the
+        nearest open <table> (x/net/html does the same, so text/link order
+        over fostered content matches the reference)."""
+        for i in range(len(self._stack) - 1, -1, -1):
+            t = self._stack[i]
+            if t.tag == "table" and t.parent is not None:
+                parent = t.parent
+                node.parent = parent
+                parent.children.insert(parent.children.index(t), node)
+                return
+        fallback.append(node)  # degenerate (tbody with no open table)
+
     def _implied_end(self, incoming: str) -> Node:
         """Pop elements whose end tag is implied by the incoming start tag."""
+        self._table_pop(incoming)
+        if not self._stack:
+            return self._current()
         cur = self._stack[-1]
         if cur.tag == "p" and incoming in P_CLOSERS:
             self._stack.pop()
@@ -201,6 +265,18 @@ class _DomParser(HTMLParser):
             self._stack.pop()
         return self._current()
 
+    def _table_pop(self, incoming: str) -> None:
+        """An incoming table-structural tag generates implied end tags for
+        open non-table elements (fostered wrappers, unclosed formatting)
+        down to the nearest table-context boundary — so ``<table><div>x<tr>``
+        puts the row in the table, not inside the fostered div."""
+        if incoming not in _TABLE_STRUCTURAL:
+            return
+        if not any(n.tag == "table" for n in self._stack):
+            return
+        while self._stack and self._stack[-1].tag not in _TABLE_BOUNDARY:
+            self._stack.pop()
+
     def handle_startendtag(self, tag, attrs):
         # <br/> style — treat like a start tag of a void-ish element.
         if tag in ("html", "head", "body"):
@@ -213,7 +289,15 @@ class _DomParser(HTMLParser):
                 parent = self._ensure_body()
         else:
             parent = self._current()
-        parent.append(Node(ELEMENT, tag, list(attrs)))
+        node = Node(ELEMENT, tag, list(attrs))
+        if (
+            parent.type == ELEMENT
+            and parent.tag in TABLE_SCOPE
+            and tag not in TABLE_ALLOWED
+        ):
+            self._foster_insert(node, parent)
+        else:
+            parent.append(node)
 
     def handle_endtag(self, tag):
         if tag in ("html", "head", "body"):
@@ -230,13 +314,40 @@ class _DomParser(HTMLParser):
         if not data:
             return
         if self._stack:
-            self._stack[-1].append(Node(TEXT, data=data))
+            cur = self._stack[-1]
+            if cur.tag in RCDATA_ELEMENTS:
+                # RCDATA decodes character references (RAWTEXT keeps them
+                # raw — html.parser's cdata mode skips convert_charrefs)
+                data = _unescape(data)
+            if cur.tag in TABLE_SCOPE and data.strip():
+                # non-whitespace text in table context foster-parents
+                node = Node(TEXT, data=data)
+                self._foster_insert(node, cur)
+            else:
+                cur.append(Node(TEXT, data=data))
             return
         # Text at top level: whitespace before body is dropped (WHATWG
         # "before head"/"before body" modes); other text forces a body.
         if self._mode != "in_body" and data.strip() == "":
             return
         self._ensure_body().append(Node(TEXT, data=data))
+
+    def unknown_decl(self, decl):
+        # <![CDATA[...]]> is TEXT in foreign content (svg/math) and a bogus
+        # comment everywhere else — x/net/html does the same.
+        if decl.startswith("CDATA[") and any(
+            n.tag in ("svg", "math") for n in self._stack
+        ):
+            self._current().append(Node(TEXT, data=decl[6:]))
+        else:
+            self._current().append(Node(COMMENT, data=decl))
+
+    def flush_cdata_eof(self) -> None:
+        """EOF inside a raw-text element (unclosed <plaintext>/<xmp>/…):
+        html.parser leaves the tail buffered; HTML5 emits it as text."""
+        if getattr(self, "cdata_elem", None) and self.rawdata:
+            data, self.rawdata = self.rawdata, ""
+            self.handle_data(data)
 
 
 def parse(html: str | bytes) -> Node:
@@ -250,6 +361,7 @@ def parse(html: str | bytes) -> Node:
     p = _DomParser()
     p.feed(html)
     p.close()
+    p.flush_cdata_eof()
     p._ensure_body()  # documents always end up with html/head/body
     return p.document
 
@@ -394,30 +506,54 @@ def compile_selector(source: str) -> Selector:
 class _StreamExtractor(HTMLParser):
     """DOM-less single-pass extractor for the parse-UDF hot path.
 
-    Text-node concatenation order equals document order regardless of tree
-    shape, so producing exactly what parse()+fast_extract would only needs
-    _DomParser's *inclusion* rule mirrored: a data chunk is kept iff the
-    element stack is non-empty (html/head/body are never pushed there) OR
-    the body has been implicitly/explicitly opened. Parity with the DOM
-    path is pinned by tests over the full synthetic corpus + fixtures.
+    Text-node concatenation order equals document order for every
+    tree-construction rule EXCEPT table foster parenting (which moves
+    content before the table, i.e. earlier than source order). So the
+    extractor routes output through per-table SINKS: each open <table>
+    buffers its internal text/hrefs and flushes them when it closes, while
+    fostered content (and everything outside tables) emits to the enclosing
+    sink immediately — reproducing the DOM's pre-order exactly. The
+    _DomParser *inclusion* rule is mirrored too: a data chunk is kept iff
+    the element stack is non-empty (html/head/body are never pushed there)
+    OR the body has been implicitly/explicitly opened. Parity with the DOM
+    path is pinned by tests over the full synthetic corpus + fixtures and
+    the tag-soup differential fuzz.
     """
+
+    CDATA_CONTENT_ELEMENTS = _DomParser.CDATA_CONTENT_ELEMENTS
 
     def __init__(self):
         super().__init__(convert_charrefs=True)
         self.text_parts: list[str] = []
         self.hrefs: list[str] = []
         self.title: str | None = None
-        self._stack: list[str] = []  # mirrors _DomParser._stack tags
+        self._base = (self.text_parts, self.hrefs)
+        # mirrors _DomParser._stack: (tag, content_sink, table_outer_sink)
+        self._stack: list[tuple] = []
         self._in_body = False  # mirrors _mode == "in_body"
         self._title_open = False
         self._title_parts: list[str] = []
 
+    # -- sink plumbing ----------------------------------------------------
+    def _current_sink(self) -> tuple:
+        return self._stack[-1][1] if self._stack else self._base
+
+    def _foster_sink(self) -> tuple:
+        """Sink of the nearest open table's OUTER context (where fostered
+        content lands — immediately before the table in DOM order)."""
+        for i in range(len(self._stack) - 1, -1, -1):
+            if self._stack[i][0] == "table":
+                return self._stack[i][2]
+        return self._current_sink()
+
+    def _pop_one(self) -> tuple:
+        tag, sink, outer = self._stack.pop()
+        if tag == "table" and outer is not None:
+            outer[0].extend(sink[0])  # table internals flush AFTER the
+            outer[1].extend(sink[1])  # fostered/pre-table content
+        return tag, sink, outer
+
     def _open(self, tag, attrs, push: bool):
-        if tag == "a":
-            for k, v in attrs:
-                if k == "href":
-                    self.hrefs.append(v if v is not None else "")
-                    break
         if tag == "html":
             return
         if tag == "head":
@@ -435,29 +571,57 @@ class _StreamExtractor(HTMLParser):
             self._title_parts = []
         if push:
             self._implied_end(tag)  # void starts (e.g. <hr>) imply ends too
-            if tag not in VOID_ELEMENTS:
-                self._stack.append(tag)
+        # insertion sink AFTER implied-end pops, fostered out of table scope
+        if (
+            self._stack
+            and self._stack[-1][0] in TABLE_SCOPE
+            and tag not in TABLE_ALLOWED
+        ):
+            ins = self._foster_sink()
+        else:
+            ins = self._current_sink()
+        if tag == "a":
+            for k, v in attrs:
+                if k == "href":
+                    ins[1].append(v if v is not None else "")
+                    break
+        if push and tag not in VOID_ELEMENTS:
+            if tag == "table":
+                self._stack.append((tag, ([], []), ins))
+            else:
+                self._stack.append((tag, ins, None))
 
     def _implied_end(self, incoming: str) -> None:
         """Mirror _DomParser._implied_end stack pops (affects emptiness)."""
+        self._table_pop(incoming)
         s = self._stack
         if not s:
             return
-        cur = s[-1]
+        cur = s[-1][0]
         if cur == "p" and incoming in P_CLOSERS:
-            s.pop()
+            self._pop_one()
         elif cur == "li" and incoming == "li":
-            s.pop()
+            self._pop_one()
         elif cur in ("dt", "dd") and incoming in ("dt", "dd"):
-            s.pop()
+            self._pop_one()
         elif cur in ("td", "th") and incoming in ("td", "th", "tr"):
-            s.pop()
-            if s and s[-1] == "tr" and incoming == "tr":
-                s.pop()
+            self._pop_one()
+            if s and s[-1][0] == "tr" and incoming == "tr":
+                self._pop_one()
         elif cur == "tr" and incoming == "tr":
-            s.pop()
+            self._pop_one()
         elif cur == "option" and incoming in ("option", "optgroup"):
-            s.pop()
+            self._pop_one()
+
+    def _table_pop(self, incoming: str) -> None:
+        """Mirror _DomParser._table_pop (implied ends before structural
+        table tags)."""
+        if incoming not in _TABLE_STRUCTURAL:
+            return
+        if not any(e[0] == "table" for e in self._stack):
+            return
+        while self._stack and self._stack[-1][0] not in _TABLE_BOUNDARY:
+            self._pop_one()
 
     def handle_starttag(self, tag, attrs):
         self._open(tag, attrs, push=True)
@@ -467,7 +631,11 @@ class _StreamExtractor(HTMLParser):
         # a self-closing <title/> ends the capture only when IT opened it —
         # with an outer <title> still on the stack (nested titles), the DOM
         # path keeps collecting text into the outer element
-        if tag == "title" and self._title_open and "title" not in self._stack:
+        if (
+            tag == "title"
+            and self._title_open
+            and not any(e[0] == "title" for e in self._stack)
+        ):
             self.title = ""
             self._title_open = False
 
@@ -484,13 +652,14 @@ class _StreamExtractor(HTMLParser):
         # nested </title> (or a sweep that leaves an outer title) must keep
         # capturing, because the DOM's first-title text spans the outer node
         for i in range(len(self._stack) - 1, -1, -1):
-            if self._stack[i] == tag:
-                swept = self._stack[i:]
-                del self._stack[i:]
+            if self._stack[i][0] == tag:
+                swept = [e[0] for e in self._stack[i:]]
+                while len(self._stack) > i:  # innermost-first: nested
+                    self._pop_one()  # tables flush into their outers
                 if (
                     self._title_open
                     and "title" in swept
-                    and "title" not in self._stack
+                    and not any(e[0] == "title" for e in self._stack)
                 ):
                     self.title = "".join(self._title_parts)
                     self._title_open = False
@@ -503,9 +672,37 @@ class _StreamExtractor(HTMLParser):
             return  # dropped by _DomParser.handle_data's top-level rule
         if not self._stack and not self._in_body:
             self._in_body = True  # non-ws top-level text forces a body
-        self.text_parts.append(data)
+        if self._stack:
+            cur = self._stack[-1][0]
+            if cur in RCDATA_ELEMENTS:
+                data = _unescape(data)  # mirror _DomParser RCDATA decode
+            if cur in TABLE_SCOPE and data.strip():
+                sink = self._foster_sink()  # foster-parented text
+            else:
+                sink = self._stack[-1][1]
+        else:
+            sink = self._base
+        sink[0].append(data)
         if self._title_open:
             self._title_parts.append(data)
+
+    def unknown_decl(self, decl):
+        # CDATA section: text in foreign content, ignored elsewhere
+        # (mirror _DomParser.unknown_decl; comments contribute nothing)
+        if decl.startswith("CDATA[") and any(
+            e[0] in ("svg", "math") for e in self._stack
+        ):
+            self._current_sink()[0].append(decl[6:])
+
+    flush_cdata_eof = _DomParser.flush_cdata_eof
+
+    def finish(self) -> None:
+        """EOF: flush unclosed cdata text and tables, settle title."""
+        self.flush_cdata_eof()
+        while self._stack:
+            self._pop_one()
+        if self.title is None and self._title_open:  # unclosed <title>
+            self.title = "".join(self._title_parts)
 
 
 def stream_extract(html: str | bytes) -> tuple[str, list[str], str]:
@@ -515,8 +712,7 @@ def stream_extract(html: str | bytes) -> tuple[str, list[str], str]:
     p = _StreamExtractor()
     p.feed(html)
     p.close()
-    if p.title is None and p._title_open:  # unclosed <title>
-        p.title = "".join(p._title_parts)
+    p.finish()
     return "".join(p.text_parts), p.hrefs, p.title or ""
 
 

@@ -482,3 +482,57 @@ def example_hub_site(host: str = "example.com") -> tuple[pd.DataFrame, pd.DataFr
         columns=["host", "status", "body", "crawl_delay", "fetched_round"]
     )
     return pages, robots, [f"http://{host}/"]
+
+
+# Tag-soup fixture for the real-web WARC ingestion path: every page uses an
+# out-of-(old)-subset HTML5 construct — table foster parenting, RAWTEXT
+# elements hiding fake links (textarea/noscript/iframe/plaintext/xmp),
+# CDATA-in-svg — so the e2e crawl proves the extractor's x/net/html-grade
+# behaviors, not just the clean synthetic alphabet. Links that must NEVER
+# enter the frontier all point at /fake-*.html.
+_SOUP_PAGES: dict[str, str] = {
+    "/": (
+        '<html><head><title>Soup &amp; Co</title></head><body>'
+        '<table><a href="/fostered.html">fostered</a>'
+        '<tr><td><a href="/cell.html">cell</a></td></tr>mid</table>'
+        '<textarea><a href="/fake-ta.html">no</a></textarea>'
+        '<noscript><a href="/fake-ns.html">no</a></noscript>'
+        '</body></html>'
+    ),
+    "/fostered.html": (
+        '<html><body><a href="/deep.html">deep</a>'
+        '<plaintext><a href="/fake-pt.html">swallowed to EOF'
+    ),
+    "/cell.html": (
+        '<html><body><svg><![CDATA[vector text]]></svg>'
+        '<iframe><a href="/fake-if.html">x</a></iframe>'
+        '<a href="/deep.html">again</a></body></html>'
+    ),
+    "/deep.html": '<html><body><xmp>end &amp; done</xmp></body></html>',
+}
+
+
+def example_soup_site(host: str = "soup.example.com") -> tuple[pd.DataFrame, pd.DataFrame, list[str]]:
+    """Tag-soup golden mini-site (see _SOUP_PAGES); no robots rules."""
+    from ant_spark.functions.htmldom import parse as _parse
+    from ant_spark.functions.htmldom import text as _text
+
+    base = dt.datetime(2025, 1, 1, tzinfo=dt.timezone.utc)
+    rows = []
+    for i, (path, html) in enumerate(sorted(_SOUP_PAGES.items())):
+        rows.append(
+            {
+                "url": f"http://{host}{path}",
+                "warc_ts": base + dt.timedelta(seconds=i),
+                "html": html.encode("utf-8"),
+                "text": _text(_parse(html)),
+                "lang": "en",
+                "status": 200,
+                "ok_after_attempt": None,
+            }
+        )
+    pages = pd.DataFrame(rows)
+    robots = pd.DataFrame(
+        columns=["host", "status", "body", "crawl_delay", "fetched_round"]
+    )
+    return pages, robots, [f"http://{host}/"]

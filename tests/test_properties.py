@@ -62,6 +62,79 @@ def test_stream_matches_dom(atoms):
     assert stream_extract(html) == fast_extract(parse(html)), html
 
 
+# Full-HTML5 tag-soup alphabet (round-5 hardening for the WARC/real-web
+# path): misnested formatting, table foster-parenting triggers, raw-text
+# and RCDATA elements (closed AND unclosed), plaintext, CDATA-in-svg,
+# foreign content, entities inside RCDATA.
+_html5_atoms = st.sampled_from(
+    [
+        # misnested formatting (adoption-agency territory)
+        "<b>", "<i>", "</b>", "</i>", "<b>x<i>y</b>z</i>",
+        # tables + foster-parenting triggers
+        "<table>", "</table>", "<tr>", "</tr>", "<td>", "</td>", "<th>",
+        "<tbody>", "</tbody>", "<thead>", "<caption>", "</caption>",
+        "loose ", "<div>f</div>", "<a href='/t'>t</a>", "<span>", "</span>",
+        # raw-text / RCDATA elements, closed and unclosed
+        "<textarea>", "</textarea>", "<textarea><a href='x'>&amp;</textarea>",
+        "<xmp>", "</xmp>", "<xmp><b>raw</xmp>", "<iframe>", "</iframe>",
+        "<noembed>z</noembed>", "<noframes>", "</noframes>",
+        "<noscript>", "</noscript>", "<plaintext>", "</plaintext>",
+        "<script>a<b</script>", "<style>p{}</style>", "<title>&lt;t</title>",
+        # foreign content + CDATA
+        "<svg>", "</svg>", "<math>", "</math>", "<![CDATA[cd]]>",
+        "<svg><![CDATA[s]]></svg>",
+        # entities and text
+        "&amp;", "&#65;", "&unknown;", "plain ", " ", "\n", "<p>", "</p>",
+        "<!-- c -->", "<!DOCTYPE html>", "<wbr>", "<hr/>",
+    ]
+)
+
+
+@given(st.lists(_html5_atoms, max_size=40))
+@settings(max_examples=400, deadline=None)
+def test_stream_matches_dom_html5_soup(atoms):
+    """Stream/DOM parity over the widened HTML5 alphabet — foster
+    parenting, raw-text EOF, RCDATA decoding and CDATA routing must agree
+    between the two independent implementations on ANY composition."""
+    html = "".join(atoms)
+    assert stream_extract(html) == fast_extract(parse(html)), html
+
+
+def test_html5_tag_soup_goldens():
+    """Pinned extraction semantics on the real-web cases the fuzz explores
+    (the x/net/html behaviors the parsers now reproduce)."""
+    cases = [
+        # foster parenting reorders: inter-row text precedes the table
+        ("<table><tr><td>A</td></tr>B<tr><td>C</td></tr></table>D",
+         "BACD", []),
+        # fostered link comes before cell links in DOM order
+        ("<table><a href='f'>F</a><tr><td><a href='c'>C</a></td></tr></table>",
+         "FC", ["f", "c"]),
+        # raw-text elements yield text, never links
+        ("<textarea><a href='x'>t</a></textarea><a href='r'>r</a>",
+         "<a href='x'>t</a>r", ["r"]),
+        ("<noscript><a href='n'>n</a></noscript>", "<a href='n'>n</a>", []),
+        ("<iframe><a href='i'>i</a></iframe>", "<a href='i'>i</a>", []),
+        # plaintext swallows everything to EOF (no end tag needed)
+        ("pre<plaintext><a href='gone'>x</a><table>",
+         "pre<a href='gone'>x</a><table>", []),
+        # RCDATA decodes entities; RAWTEXT keeps them raw
+        ("<textarea>a &amp; b</textarea><script>c &amp; d</script>",
+         "a & bc &amp; d", []),
+        # CDATA: text inside svg, bogus comment outside
+        ("<svg><![CDATA[in]]></svg><p><![CDATA[out]]></p>", "in", []),
+        # fostered wrapper closed by an incoming row
+        ("<table><div>x<tr><td>y</td></tr></table>", "xy", []),
+    ]
+    for html, want_text, want_hrefs in cases:
+        for got_text, got_hrefs, _ in (
+            fast_extract(parse(html)),
+            stream_extract(html),
+        ):
+            assert got_text == want_text, html
+            assert got_hrefs == want_hrefs, html
+
+
 # --- WARC framing round-trip ------------------------------------------------
 
 import datetime as _dt

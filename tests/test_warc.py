@@ -138,3 +138,34 @@ def test_write_warc_distributed_roundtrip(spark, tmp_path):
         assert bytes(got["html"]) == bytes(row["html"])
         assert got["status"] == row["status"]
         assert got["warc_ts"] == row["warc_ts"].replace(tzinfo=None)
+
+
+def test_crawl_tag_soup_from_warc(spark):
+    """Real-web hardening e2e: a WARC whose pages are all out-of-subset
+    HTML5 (foster-parented links, RAWTEXT fake links, plaintext, CDATA) —
+    the crawl must follow exactly the real links (fostered link FIRST, per
+    foster-parented DOM order), never the raw-text decoys, and the logged
+    extracted text must byte-match the fixture's reference text."""
+    import tempfile
+
+    from ant_spark.sources.warc import write_warc
+    from ant_spark.sources.webgraph import example_soup_site
+
+    pages_pdf, _, seeds = example_soup_site()
+    path = tempfile.mktemp(suffix=".warc.gz", prefix="ant_soup_")
+    write_warc(pages_pdf.to_dict("records"), path, compress=True)
+    pages = warc_to_pages(read_warc(spark, path))
+    res = Engine(
+        spark, pages, None, CrawlConfig(max_rounds=6, ordering="bfs")
+    ).run(seeds)
+    rows = res.fetched_log.orderBy("seq").collect()
+    assert [(r["seq"], r["url"].rsplit("/", 1)[-1] or "/") for r in rows] == [
+        (0, "/"), (1, "fostered.html"), (2, "cell.html"), (3, "deep.html"),
+    ]
+    assert [r["n_links"] for r in rows] == [2, 1, 1, 0]
+    ref_text = dict(zip(pages_pdf.url, pages_pdf.text))
+    for r in rows:
+        assert r["text"] == ref_text[r["url"]]  # byte-identical invariant
+    # the decoys never got fetched or even enqueued
+    assert not any("fake" in r["url"] for r in rows)
+    assert res.metrics  # crawl produced lineage counters
