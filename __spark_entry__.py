@@ -705,6 +705,32 @@ def _q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank(edges, n_iter=3).select("id", "rank_scaled")
 
 
+def _q_host_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-level crawl priority signal end-to-end: URL edges roll up to a
+    weighted host graph (graphops.host_edges — self-loops dropped, link
+    counts as weights) and 3 weighted fixed-point PageRank iterations rank
+    the hosts. At web scale this is the composition that fits
+    rank_priority_fn's driver map (~10^7 hosts), unlike URL-level ranks."""
+    from ant_spark.operators.graphops import host_edges, pagerank
+
+    ev = _t(spark, sf_dir, "events")
+    url_edges = ev.select(
+        F.concat(
+            F.lit("http://h"), (F.col("user_id") % 7).cast("string"),
+            F.lit(".test/p/"), F.col("user_id").cast("string"),
+        ).alias("src"),
+        F.concat(
+            F.lit("http://h"), (F.col("event_id") % 5).cast("string"),
+            F.lit(".test/p/"), F.col("event_id").cast("string"),
+        ).alias("dst"),
+    )
+    he = host_edges(url_edges)
+    return pagerank(
+        he, n_iter=3, src_col="src_host", dst_col="dst_host",
+        weight_col="weight",
+    ).select("id", "rank_scaled")
+
+
 def _q_graph_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
     """In/out degree rollup over the same synthetic link graph."""
     from ant_spark.operators.graphops import degrees
@@ -867,6 +893,71 @@ def _q_warc_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_warc(spark, path).select("url", "status", "n_bytes")
 
 
+def _q_robots_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robots TTL re-fetch semantics (internal/robots/cache.go:36-78) as a
+    deterministic differential crawl: the robots feed flips to Disallow at
+    round 1 on a 3-page chain (/ → mid → blocked). With TTL=2 rounds the
+    cached allow-all expires exactly when /blocked.html becomes eligible →
+    denied (2 fetches); with TTL=100 the snapshot rules throughout → 3
+    fetches. Both runs pinned in one VALUES oracle."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from ant_spark import schemas
+    from ant_spark.engine import CrawlConfig, Engine
+    from ant_spark.functions.htmldom import parse as hparse
+    from ant_spark.functions.htmldom import text as htext
+
+    chain = {
+        "/": '<html><head><title>t</title></head><body>'
+             '<a href="/mid.html">m</a></body></html>',
+        "/mid.html": '<html><head><title></title></head><body>'
+                     '<a href="/blocked.html">b</a></body></html>',
+        "/blocked.html": '<html><head><title></title></head><body>end</body></html>',
+    }
+    base = dt.datetime(2025, 1, 1, tzinfo=dt.timezone.utc)
+    pages = spark.createDataFrame(
+        pd.DataFrame(
+            [
+                {
+                    "url": f"http://ttl.example.com{p}",
+                    "warc_ts": base,
+                    "html": h.encode(),
+                    "text": htext(hparse(h)),
+                    "lang": "en",
+                    "status": 200,
+                    "ok_after_attempt": None,
+                }
+                for p, h in chain.items()
+            ]
+        ),
+        schema=schemas.PAGES,
+    )
+    feed = spark.createDataFrame(
+        [
+            ("ttl.example.com", 200, "User-Agent: *\nDisallow:\n", None, None, 0),
+            ("ttl.example.com", 200,
+             "User-Agent: antbot\nDisallow: /blocked.html\n", None, None, 1),
+        ],
+        "host string, status int, body string, crawl_delay double, "
+        "fetched_round int, valid_from_round int",
+    )
+    seeds = ["http://ttl.example.com/"]
+    outs = []
+    for mode, ttl in (("short", 2.0), ("long", 100.0)):
+        res = Engine(
+            spark, pages, feed,
+            CrawlConfig(max_rounds=8, ordering="bfs", robots_max_age_seconds=ttl),
+        ).run(seeds)
+        outs.append(
+            res.fetched_log.select(
+                F.lit(mode).alias("mode"), "round", "seq", "url"
+            )
+        )
+    return outs[0].unionByName(outs[1]).orderBy("mode", "seq")
+
+
 def _q_warc_tagsoup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real-web hardening e2e (round-5): crawl a WARC of out-of-subset
     HTML5 pages — foster-parented links (crawled FIRST, per reordered DOM),
@@ -959,6 +1050,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_near_dup_components": _q_near_dup_components,
         "text_unigram_logprob": _q_unigram_logprob,
         "graph_pagerank": _q_pagerank,
+        "graph_host_rank": _q_host_rank,
         "graph_degrees": _q_graph_degrees,
         # similarity search
         "emb_cosine_topk": _q_cosine_topk,
@@ -975,6 +1067,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_priority_order": _q_crawl_priority,
         "crawl_warc_source": _q_warc_source,
         "crawl_warc_tagsoup": _q_warc_tagsoup,
+        "crawl_robots_ttl": _q_robots_ttl,
         "media_features_stub": _q_media_features,
         "media_features_real": _q_media_features_real,
     }
@@ -1770,6 +1863,61 @@ def oracle_sql() -> dict[str, str]:
               ELSE -7.0 END AS lp
             FROM documents
         """,
+        "graph_host_rank": """
+            WITH ue AS (
+              SELECT 'http://h' || (user_id % 7)::VARCHAR || '.test/p/'
+                       || user_id::VARCHAR AS src_url,
+                     'http://h' || (event_id % 5)::VARCHAR || '.test/p/'
+                       || event_id::VARCHAR AS dst_url
+              FROM events),
+            -- host rollup (graphops.host_edges): self-loops dropped,
+            -- link counts become integer weights
+            hedges AS (
+              SELECT string_split(src_url, '/')[3] AS src,
+                     string_split(dst_url, '/')[3] AS dst,
+                     count(*)::BIGINT AS w
+              FROM ue
+              WHERE string_split(src_url, '/')[3] <> string_split(dst_url, '/')[3]
+              GROUP BY 1, 2),
+            nodes AS (
+              SELECT DISTINCT id FROM (
+                SELECT src AS id FROM hedges UNION ALL SELECT dst FROM hedges)),
+            outd AS (SELECT src, sum(w)::BIGINT AS o FROM hedges GROUP BY src),
+            -- weighted fixed-point recurrence (graphops.pagerank with
+            -- weight_col): contribution = w * (r DIV out)
+            r0 AS (
+              SELECT id,
+                (1000000000 // (SELECT count(*) FROM nodes))::BIGINT AS r
+              FROM nodes),
+            it1 AS (
+              SELECT n.id,
+                ((15 * (1000000000 // (SELECT count(*) FROM nodes))) // 100
+                 + (85 * coalesce(s.s, 0)) // 100)::BIGINT AS r
+              FROM nodes n LEFT JOIN (
+                SELECT e.dst AS id, sum(e.w * (r.r // o.o))::BIGINT AS s
+                FROM hedges e JOIN r0 r ON e.src = r.id
+                JOIN outd o ON e.src = o.src
+                GROUP BY e.dst) s ON n.id = s.id),
+            it2 AS (
+              SELECT n.id,
+                ((15 * (1000000000 // (SELECT count(*) FROM nodes))) // 100
+                 + (85 * coalesce(s.s, 0)) // 100)::BIGINT AS r
+              FROM nodes n LEFT JOIN (
+                SELECT e.dst AS id, sum(e.w * (r.r // o.o))::BIGINT AS s
+                FROM hedges e JOIN it1 r ON e.src = r.id
+                JOIN outd o ON e.src = o.src
+                GROUP BY e.dst) s ON n.id = s.id),
+            it3 AS (
+              SELECT n.id,
+                ((15 * (1000000000 // (SELECT count(*) FROM nodes))) // 100
+                 + (85 * coalesce(s.s, 0)) // 100)::BIGINT AS r
+              FROM nodes n LEFT JOIN (
+                SELECT e.dst AS id, sum(e.w * (r.r // o.o))::BIGINT AS s
+                FROM hedges e JOIN it2 r ON e.src = r.id
+                JOIN outd o ON e.src = o.src
+                GROUP BY e.dst) s ON n.id = s.id)
+            SELECT id, r AS rank_scaled FROM it3
+        """,
         "graph_pagerank": """
             WITH e AS (
               SELECT user_id % 40 AS src, event_id % 40 AS dst
@@ -2018,6 +2166,19 @@ def oracle_sql() -> dict[str, str]:
         # crawl_warc_source: round-trip identity — the expected rows are
         # computed from the SAME fixture constants the query serializes
         # (url, status 200, exact utf-8 byte length per page).
+        # crawl_robots_ttl: deterministic differential TTL crawl — short
+        # TTL applies the round-1 Disallow flip at round 2 (blocked denied),
+        # long TTL keeps the allow-all snapshot (blocked fetched round 2).
+        "crawl_robots_ttl": """
+            SELECT mode, round::INT AS round, seq::BIGINT AS seq, url
+            FROM (VALUES
+              ('short', 0, 0, 'http://ttl.example.com/'),
+              ('short', 1, 1, 'http://ttl.example.com/mid.html'),
+              ('long', 0, 0, 'http://ttl.example.com/'),
+              ('long', 1, 1, 'http://ttl.example.com/mid.html'),
+              ('long', 2, 2, 'http://ttl.example.com/blocked.html')
+            ) AS t(mode, round, seq, url)
+        """,
         "crawl_warc_tagsoup": f"""
             SELECT seq::BIGINT AS seq, url, status::INT AS status,
                    n_links::INT AS n_links, text

@@ -55,6 +55,7 @@ def pagerank(
     src_col: str = "src",
     dst_col: str = "dst",
     scale: int = 10**9,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Fixed-iteration fixed-point PageRank.
 
@@ -62,14 +63,20 @@ def pagerank(
 
         r0      = scale DIV N
         base    = ((100 - damping_pct) * r0) DIV 100
-        r'(v)   = base + (damping_pct * Σ_u→v (r(u) DIV out(u))) DIV 100
+        r'(v)   = base + (damping_pct * Σ_u→v w(u,v)·(r(u) DIV out(u))) DIV 100
 
-    Standard simple variant: dangling vertices (no outlinks) contribute
-    nothing (their mass leaks — acceptable for crawl-scheduling signals).
-    Returns (id, rank_scaled bigint, rank double=rank_scaled/scale); the
-    bigint column is the hash-stable one.
+    where ``out(u)`` is the out-degree (or the integer weight sum with
+    ``weight_col`` — the host-graph rollup's multi-edge counts) and
+    ``w(u,v)`` the edge weight (1 unweighted). Standard simple variant:
+    dangling vertices (no outlinks) contribute nothing (their mass leaks —
+    acceptable for crawl-scheduling signals). Returns (id, rank_scaled
+    bigint, rank double=rank_scaled/scale); the bigint column is the
+    hash-stable one.
     """
-    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    w_cols = [F.col(weight_col).cast("long").alias("_w")] if weight_col else []
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst"), *w_cols
+    )
     nodes = (
         e.select(F.col("src").alias("id"))
         .unionByName(e.select(F.col("dst").alias("id")))
@@ -84,7 +91,11 @@ def pagerank(
             F.lit(None).cast("long").alias("rank_scaled"),
             F.lit(None).cast("double").alias("rank"),
         )
-    out_deg = e.groupBy("src").agg(F.count("*").alias("_out")).persist()
+    out_agg = F.sum("_w") if weight_col else F.count("*")
+    out_deg = e.groupBy("src").agg(out_agg.alias("_out")).persist()
+    contrib_expr = (
+        "_w * (rank_scaled DIV _out)" if weight_col else "rank_scaled DIV _out"
+    )
     r0 = scale // n
     base = ((100 - damping_pct) * r0) // 100
     ranks = nodes.withColumn("rank_scaled", F.lit(r0).cast("long")).persist()
@@ -95,7 +106,7 @@ def pagerank(
                 .join(out_deg, "src")
                 .select(
                     F.col("dst").alias("id"),
-                    F.expr("rank_scaled DIV _out").alias("_c"),
+                    F.expr(contrib_expr).alias("_c"),
                 )
             )
             summed = contrib.groupBy("id").agg(F.sum("_c").alias("_s"))
@@ -165,3 +176,32 @@ def rank_priority_fn(
         )
 
     return prio
+
+
+def host_edges(
+    edges: DataFrame, src_col: str = "src", dst_col: str = "dst"
+) -> DataFrame:
+    """URL-level link edges → host-level weighted edges
+    (src_host, dst_host, weight = link count), self-loops dropped.
+
+    The host graph is the crawl scheduler's natural signal granularity:
+    ~10^7 hosts versus 10^10 URLs, so after ``pagerank(..., weight_col=
+    'weight')`` the ranks fit ``rank_priority_fn``'s driver-literal map —
+    the scale-safe end-to-end composition (URL-level ranks need the
+    in-round join seam instead). One groupBy on the host pair; hosts are
+    near-uniform keys after the rollup."""
+    from ant_spark.functions.urlnorm import host_of
+
+    e = edges.select(
+        host_of(F.col(src_col)).alias("src_host"),
+        host_of(F.col(dst_col)).alias("dst_host"),
+    )
+    return (
+        e.filter(
+            F.col("src_host").isNotNull()
+            & F.col("dst_host").isNotNull()
+            & (F.col("src_host") != F.col("dst_host"))
+        )
+        .groupBy("src_host", "dst_host")
+        .agg(F.count("*").alias("weight"))
+    )

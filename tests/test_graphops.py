@@ -50,3 +50,47 @@ def test_pagerank_empty_edges(spark):
     out = pagerank(e, n_iter=3)
     assert out.count() == 0
     assert [f.name for f in out.schema.fields] == ["id", "rank_scaled", "rank"]
+
+
+def test_host_edges_and_weighted_pagerank(spark):
+    """URL edges → host rollup (self-loops dropped, counts as weights) →
+    weighted fixed-point pagerank; mirrored by a pure-python recurrence."""
+    from ant_spark.operators.graphops import host_edges
+
+    urls = [
+        ("http://a.test/1", "http://b.test/x"),
+        ("http://a.test/2", "http://b.test/y"),   # a→b weight 2
+        ("http://a.test/3", "http://a.test/4"),   # self-loop: dropped
+        ("http://b.test/1", "http://c.test/x"),   # b→c weight 1
+        ("http://c.test/1", "http://b.test/z"),   # c→b weight 1
+    ]
+    he = host_edges(spark.createDataFrame(urls, "src string, dst string"))
+    got = {(r["src_host"], r["dst_host"]): r["weight"] for r in he.collect()}
+    assert got == {("a.test", "b.test"): 2, ("b.test", "c.test"): 1,
+                   ("c.test", "b.test"): 1}
+
+    ranks = {
+        r["id"]: r["rank_scaled"]
+        for r in pagerank(
+            he, n_iter=3, src_col="src_host", dst_col="dst_host",
+            weight_col="weight",
+        ).collect()
+    }
+    # python mirror of the weighted recurrence
+    edges = [("a.test", "b.test", 2), ("b.test", "c.test", 1),
+             ("c.test", "b.test", 1)]
+    nodes = sorted({s for s, _, _ in edges} | {d for _, d, _ in edges})
+    out = {}
+    for s, _, w in edges:
+        out[s] = out.get(s, 0) + w
+    scale, dp = 10**9, 85
+    r0 = scale // len(nodes)
+    base = ((100 - dp) * r0) // 100
+    r = {v: r0 for v in nodes}
+    for _ in range(3):
+        acc = {v: 0 for v in nodes}
+        for s, d, w in edges:
+            acc[d] += w * (r[s] // out[s])
+        r = {v: base + (dp * acc[v]) // 100 for v in nodes}
+    assert ranks == r
+    assert ranks["b.test"] > ranks["a.test"]  # the linked-to host wins
