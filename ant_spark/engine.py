@@ -100,6 +100,14 @@ class CrawlConfig:
     # priority for newly discovered links: Column fn over the link row
     # (columns: url, url_hash, parent_seq, parent_depth, link_idx)
     priority_fn: Callable | None = None
+    # URL-level priority signal TABLE: a (url, priority double) DataFrame
+    # left-joined onto newly discovered links each round (collision-safe
+    # url_hash+url key). This is the frontier-scale twin of
+    # graphops.rank_priority_fn's driver map: a 10^10-URL rank table rides
+    # as a broadcast/bucketed join, never a literal. Misses fall back to
+    # priority_fn (or 0). Build from pagerank() output via
+    # graphops.rank_priority_table.
+    priority_join: Any = None
     # LimitPattern/LimitRegexp rules: (kind in {pattern,regexp}, expr, n/sec)
     pattern_rates: list = field(default_factory=list)
     # 'all' (reference-exact: every matching limiter binds, chained per-rule
@@ -1071,6 +1079,32 @@ class Engine:
                 F.lit(1).alias("attempt"),
                 F.lit(0).cast("long").alias("not_before"),
             )
+            if cfg.priority_join is not None:
+                # URL-level rank signal as an in-round equi-join — the
+                # 10^10-frontier shape a driver-literal map can't carry
+                # (rank_priority_fn's documented seam): new links pick up
+                # (url_hash, url)-keyed priorities (collision-safe, same
+                # key idiom as the seen anti-join); misses keep the
+                # priority_fn/default value. Catalyst broadcasts a small
+                # rank table; at corpus scale store it url_hash-bucketed
+                # like the pages table for a shuffle-free sort-merge join.
+                pj = cfg.priority_join.select(
+                    url_hash(F.col("url")).alias("_pj_hash"),
+                    F.col("url").alias("_pj_url"),
+                    F.col("priority").cast("double").alias("_pj_prio"),
+                )
+                new_rows = (
+                    new_rows.join(
+                        pj,
+                        (new_rows["url_hash"] == pj["_pj_hash"])
+                        & (new_rows["url"] == pj["_pj_url"]),
+                        "left",
+                    )
+                    .withColumn(
+                        "priority", F.coalesce("_pj_prio", "priority")
+                    )
+                    .drop("_pj_hash", "_pj_url", "_pj_prio")
+                )
             obs_new = Observation() if observe else None
             if observe:
                 new_rows = new_rows.observe(

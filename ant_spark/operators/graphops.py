@@ -205,3 +205,19 @@ def host_edges(
         .groupBy("src_host", "dst_host")
         .agg(F.count("*").alias("weight"))
     )
+
+
+def rank_priority_table(
+    ranks: DataFrame, key_col: str = "url", rank_col: str = "rank_scaled"
+) -> DataFrame:
+    """``pagerank()`` output → the (url, priority) table
+    ``CrawlConfig.priority_join`` consumes: priority = −rank so
+    higher-ranked pages dequeue first. Stays a DataFrame end-to-end — the
+    10^10-frontier composition (the engine joins it onto new links each
+    round; store it url_hash-bucketed at corpus scale), in contrast to
+    ``rank_priority_fn``'s driver-literal map for host-level signals."""
+    id_c = key_col if key_col in ranks.columns else "id"
+    return ranks.select(
+        F.col(id_c).alias("url"),
+        (-F.col(rank_col).cast("double")).alias("priority"),
+    )

@@ -76,3 +76,34 @@ def test_pagerank_fed_priority_crawl(spark):
         for r in res_fifo.fetched_log.orderBy("round").collect()
     ]
     assert order_fifo == ["/", "p1.html", "p2.html", "hub.html", "x.html"]
+
+
+def test_priority_join_table_matches_literal_map(spark):
+    """The frontier-scale composition: the SAME PageRank signal fed as a
+    joined (url, priority) table (CrawlConfig.priority_join) reproduces the
+    literal-map (rank_priority_fn) crawl order exactly — hub and its child
+    jump the queue."""
+    from ant_spark.functions.parse import make_links_udf
+    from ant_spark.operators.graphops import pagerank, rank_priority_table
+    from ant_spark.sources.webgraph import example_hub_site
+
+    pages_pdf, _, seeds = example_hub_site()
+    pages = spark.createDataFrame(pages_pdf, schema=schemas.PAGES)
+    links_udf = make_links_udf()
+    edges = pages.select(
+        F.col("url").alias("src"),
+        F.explode(links_udf(F.col("url"), F.col("html"))).alias("dst"),
+    )
+    ptab = rank_priority_table(pagerank(edges, n_iter=3))
+    res = Engine(
+        spark, pages, None,
+        CrawlConfig(
+            max_rounds=12, host_rates={"example.com": 1}, ordering="bfs",
+            queue_policy="priority", priority_join=ptab,
+        ),
+    ).run(seeds)
+    order = [
+        r["url"].rsplit("/", 1)[-1] or "/"
+        for r in res.fetched_log.orderBy("round").collect()
+    ]
+    assert order == ["/", "hub.html", "x.html", "p1.html", "p2.html"]
