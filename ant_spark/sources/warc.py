@@ -286,3 +286,62 @@ def warc_to_pages(df: DataFrame) -> DataFrame:
         "status",
         F.lit(None).cast("int").alias("ok_after_attempt"),
     )
+
+
+def stream_warc(spark: SparkSession, path: str) -> DataFrame:
+    """Streaming WARC source: the continuous-ingest twin of ``read_warc``.
+
+    Common Crawl-style pipelines land new ``.warc.gz`` segment files into a
+    directory as the crawl progresses; ``readStream.format('binaryFile')``
+    discovers each exactly once (checkpointed file index) and the SAME
+    Arrow-batched record parser emits rows — so a downstream curation or
+    dedup stage (streaming/pipeline.py) runs incrementally over segments
+    as they arrive instead of re-scanning the corpus. Unit of parallelism
+    is still the file (gzip members are the only seek points).
+    """
+    import pandas as pd
+
+    from pyspark.sql.types import StructType
+
+    file_schema = (
+        StructType()
+        .add("path", "string")
+        .add("modificationTime", "timestamp")
+        .add("length", "long")
+        .add("content", "binary")
+    )
+    files = (
+        spark.readStream.format("binaryFile")
+        .schema(file_schema)
+        .load(path)
+        .select("content")
+    )
+
+    def fn(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        def parse_ts(s):
+            if not s:
+                return None
+            try:
+                ts = pd.Timestamp(s)
+            except (ValueError, TypeError):
+                return None
+            return ts.tz_localize(None) if ts.tzinfo is not None else ts
+
+        for b in batches:
+            out = []
+            for content in b["content"]:
+                for rec in parse_warc_bytes(bytes(content)):
+                    out.append(
+                        {
+                            "url": rec["url"],
+                            "warc_ts": parse_ts(rec["warc_date"]),
+                            "status": rec["status"],
+                            "html": rec["html"],
+                            "n_bytes": len(rec["html"]),
+                        }
+                    )
+            yield pd.DataFrame(
+                out, columns=["url", "warc_ts", "status", "html", "n_bytes"]
+            )
+
+    return files.mapInPandas(fn, WARC_RECORDS)

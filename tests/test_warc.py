@@ -169,3 +169,44 @@ def test_crawl_tag_soup_from_warc(spark):
     # the decoys never got fetched or even enqueued
     assert not any("fake" in r["url"] for r in rows)
     assert res.metrics  # crawl produced lineage counters
+
+
+def test_stream_warc_incremental(spark, tmp_path):
+    """Streaming WARC ingest: segments dropped into a directory are parsed
+    exactly once per micro-batch; a second availableNow pass over the same
+    checkpoint picks up ONLY the newly landed segment."""
+    from ant_spark.sources.warc import stream_warc
+
+    seg_dir = tmp_path / "segments"
+    seg_dir.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    pages_pdf, _, _ = example_site()
+    recs = pages_pdf.to_dict("records")
+    write_warc(recs[:4], str(seg_dir / "seg-00000.warc.gz"))
+
+    out_dir = str(tmp_path / "out")
+
+    def drain():
+        q = (
+            stream_warc(spark, str(seg_dir))
+            .select("url", "n_bytes")
+            .writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return {
+            r["url"]: r["n_bytes"]
+            for r in spark.read.parquet(out_dir).collect()
+        }
+
+    got = drain()
+    assert len(got) == 4
+    write_warc(recs[4:], str(seg_dir / "seg-00001.warc.gz"))
+    got = drain()
+    assert len(got) == 6  # +2 from the new segment only (exactly-once)
+    for row in recs:
+        assert got[row["url"]] == len(row["html"])
