@@ -108,6 +108,12 @@ class CrawlConfig:
     # priority_fn (or 0). Build from pagerank() output via
     # graphops.rank_priority_table.
     priority_join: Any = None
+    # True (default): hint the rank table broadcast — right for trimmed
+    # signal tables (the common case; audit-pinned, the discovered-links
+    # stream never shuffles for the join). False for a corpus-scale rank
+    # table: store BOTH sides url_hash-bucketed and let the SMJ run
+    # storage-partitioned instead.
+    priority_join_broadcast: bool = True
     # LimitPattern/LimitRegexp rules: (kind in {pattern,regexp}, expr, n/sec)
     pattern_rates: list = field(default_factory=list)
     # 'all' (reference-exact: every matching limiter binds, chained per-rule
@@ -1093,6 +1099,8 @@ class Engine:
                     F.col("url").alias("_pj_url"),
                     F.col("priority").cast("double").alias("_pj_prio"),
                 )
+                if cfg.priority_join_broadcast:
+                    pj = F.broadcast(pj)
                 new_rows = (
                     new_rows.join(
                         pj,

@@ -193,6 +193,40 @@ def main() -> None:
           f"(fetch-join Exchanges per round: {n_ex}, SMJ over bucketed scans)")
     results.append(ok6)
 
+    # 7. priority_join rounds: the URL-level rank table must ride as a
+    # BROADCAST side of the new-links join (a small signal table must never
+    # force the discovered-links stream through an extra shuffle; at corpus
+    # scale the documented alternative is url_hash-bucketing both sides).
+    from ant_spark.operators.graphops import rank_priority_table
+    from ant_spark.sources.webgraph import example_hub_site
+
+    hp, _, hseeds = example_hub_site()
+    phe = spark.createDataFrame(hp, schema=schemas.PAGES)
+    ptab = rank_priority_table(
+        spark.createDataFrame(
+            [("http://example.com/hub.html", 5)], "id string, rank_scaled long"
+        )
+    )
+    os.environ["ANT_SPARK_EXPLAIN_ROUND"] = "1"
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        Engine(
+            spark, phe, None,
+            CrawlConfig(
+                max_rounds=3, queue_policy="priority", priority_join=ptab
+            ),
+        ).run(hseeds)
+    os.environ.pop("ANT_SPARK_EXPLAIN_ROUND")
+    pj_plans = buf.getvalue()
+    pj_joins = [
+        ln for ln in pj_plans.splitlines()
+        if "_pj_hash" in ln and "Join" in ln
+    ]
+    ok7 = bool(pj_joins) and all("BroadcastHashJoin" in ln for ln in pj_joins)
+    print(f"{'PASS' if ok7 else 'FAIL'}  priority_join_broadcast "
+          f"({len(pj_joins)} rank-table joins, all broadcast)")
+    results.append(ok7)
+
     print(f"\n{'ALL PASS' if all(results) else 'AUDIT FAILURES'}")
     sys.exit(0 if all(results) else 1)
 
