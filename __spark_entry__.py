@@ -690,6 +690,32 @@ def _q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", unigram_logprob(F.col("text")).alias("lp"))
 
 
+def _q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document repeated-SPAN signal: winnowed fingerprints shared by
+    ≥2 docs (the exact-substring dup family of Lee et al. 2022 at winnowing
+    granularity — one explode + one near-uniform groupBy, no suffix sort).
+    High-count fps are boilerplate/template spans."""
+    from ant_spark.operators.textops import duplicate_spans
+
+    docs = _t(spark, sf_dir, "documents")
+    return duplicate_spans(docs, k=3, w=4, min_docs=2)
+
+
+def _q_incremental_new(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-snapshot content dedup: treating doc_id%3==0 as the
+    PREVIOUS snapshot's fingerprint dim, keep only new-batch docs whose
+    exact fingerprint is unseen — the content-level twin of the URL-seen
+    anti-join (each monthly CC snapshot pays only for its delta)."""
+    from ant_spark.operators.textops import fingerprint, incremental_new
+
+    docs = _t(spark, sf_dir, "documents")
+    prev = docs.filter(F.col("doc_id") % 3 == 0).select(
+        fingerprint(F.col("text")).alias("fp")
+    )
+    new = docs.filter(F.col("doc_id") % 3 != 0)
+    return incremental_new(new, prev).select("doc_id")
+
+
 def _q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Crawl-graph PageRank (frontier-prioritization signal): 3 fixed-point
     integer iterations over a synthetic link graph — integral DIV + bigint
@@ -1038,6 +1064,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_simhash": _q_simhash,
         "text_simhash_near_dup": _q_simhash_pairs,
         "text_winnow_fingerprints": _q_winnow,
+        "text_duplicate_spans": _q_duplicate_spans,
+        "text_incremental_new": _q_incremental_new,
         "text_pack_plan": _q_pack_plan,
         "text_content_flags": _q_content_flags,
         "text_repetition": _q_repetition,
@@ -1597,6 +1625,28 @@ def oracle_sql() -> dict[str, str]:
                    THEN round(1.0 - len(list_distinct(sh))::DOUBLE / len(sh), 4)
                    ELSE 0.0 END AS rep_score
             FROM (SELECT doc_id, {_SHINGLES_SQL} AS sh FROM documents)
+        """,
+        "text_duplicate_spans": f"""
+            WITH hs AS (
+              SELECT doc_id,
+                list_transform({_SHINGLES_SQL},
+                  s -> ('0x' || substring(md5(s), 1, 15))::BIGINT) AS h
+              FROM documents),
+            fps AS (
+              SELECT doc_id, unnest(list_distinct(list_transform(
+                  generate_series(1, greatest(1, len(h) - 4 + 1)),
+                  i -> list_aggregate(h[i : i + 3], 'min')))) AS fp
+              FROM hs)
+            SELECT fp, count(*)::BIGINT AS n_docs,
+                   min(doc_id)::BIGINT AS first_doc
+            FROM fps GROUP BY fp HAVING count(*) >= 2
+        """,
+        "text_incremental_new": f"""
+            SELECT doc_id FROM documents d
+            WHERE doc_id % 3 <> 0
+              AND md5({_NORM_TEXT_SQL}) NOT IN (
+                SELECT md5({_NORM_TEXT_SQL})
+                FROM documents WHERE doc_id % 3 = 0)
         """,
         "text_winnow_fingerprints": f"""
             WITH hs AS (

@@ -876,3 +876,49 @@ def unigram_logprob(
     return F.when(
         F.size(words) > 0, total / (F.size(words).cast("long") * 100)
     ).otherwise(F.lit(float(oov_logp)))
+
+
+def duplicate_spans(
+    docs: DataFrame,
+    text_col: str = "text",
+    k: int = 3,
+    w: int = 4,
+    min_docs: int = 2,
+) -> DataFrame:
+    """(fp, n_docs, first_doc) — winnowed fingerprints shared by at least
+    ``min_docs`` documents: the cross-document repeated-SPAN signal (the
+    exact-substring duplication family of Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better"), at winnowing granularity
+    instead of suffix arrays — the Spark-shaped formulation: one explode +
+    one groupBy on the fingerprint (near-uniform 60-bit key), no global
+    suffix sort. High-``n_docs`` fingerprints are boilerplate/template
+    spans; join back on fp to locate and excise them per document.
+
+    Scale shape: winnow_fingerprints shuffles only per-doc windows
+    (bounded by document length); the rollup is one map-side-combinable
+    groupBy. At 10^10 docs bucket the fingerprint table by fp."""
+    fps = winnow_fingerprints(docs, text_col, k, w)
+    return (
+        fps.groupBy("fp")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("first_doc"))
+        .filter(F.col("n_docs") >= min_docs)
+    )
+
+
+def incremental_new(
+    new_docs: DataFrame, seen_fps: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """New-snapshot documents whose exact content fingerprint was NOT in
+    the previous corpus — the content-level twin of the crawl's URL-seen
+    anti-join, so each incremental Common-Crawl snapshot only pays for its
+    delta (the standard month-over-month CC workflow: ~60-70% of pages
+    repeat byte-identically).
+
+    ``seen_fps``: a table with an ``fp`` column — e.g.
+    ``docs.select(fingerprint(col('text')).alias('fp'))`` over the prior
+    snapshot, or the stored distinct-fp dim it produces. Anti-join on the
+    md5 fingerprint; at corpus scale store both sides fp-bucketed (the
+    seen-set idiom) for a shuffle-free LeftAnti."""
+    fps = new_docs.withColumn("_fp", fingerprint(F.col(text_col)))
+    seen = seen_fps.select(F.col("fp").alias("_fp")).distinct()
+    return fps.join(seen, "_fp", "left_anti").drop("_fp")

@@ -432,3 +432,38 @@ def test_unigram_logprob_signal(spark):
     assert got[2] == -7.0         # empty -> floor
     assert got[3] == -1.2         # all 'the' -> exactly its table value
     assert got[0] > got[1]
+
+
+def test_duplicate_spans_and_incremental_new(spark):
+    from ant_spark.operators.textops import (
+        duplicate_spans,
+        fingerprint,
+        incremental_new,
+    )
+    from pyspark.sql import functions as F
+
+    shared = "the quick brown fox jumps over the lazy dog near the old river bank"
+    docs = spark.createDataFrame(
+        [
+            (1, shared + " alpha ending one two three four five six seven"),
+            (2, shared + " totally different tail with other words here now"),
+            (3, "no overlap at all in this completely separate document text"),
+        ],
+        "doc_id long, text string",
+    )
+    spans = duplicate_spans(docs, k=3, w=4, min_docs=2).collect()
+    assert spans, "shared prefix must produce shared winnowed fingerprints"
+    assert all(r["n_docs"] == 2 and r["first_doc"] == 1 for r in spans)
+
+    prev = docs.filter(F.col("doc_id") == 1).select(
+        fingerprint(F.col("text")).alias("fp")
+    )
+    new = spark.createDataFrame(
+        [
+            (10, shared + " alpha ending one two three four five six seven"),
+            (11, "a genuinely new document that was never seen before today"),
+        ],
+        "doc_id long, text string",
+    )
+    kept = sorted(r["doc_id"] for r in incremental_new(new, prev).collect())
+    assert kept == [11]  # 10 is byte-identical content to snapshot doc 1
