@@ -155,9 +155,10 @@ def rank_priority_fn(
     bucketed equi-join idiom as the fetch join); this helper is the
     driver-signal fast path, not that join.
 
-    ``key_col`` picks which link column keys the lookup (``url`` or, for
-    host-level signals, pair with an engine-side host column). Unknown
-    keys get ``-default``.
+    ``key_col`` picks the lookup key: ``'url'`` (default) keys by the
+    link's URL; ``'host'`` keys by its host (``host_of(url)``) — the
+    host-graph composition (``host_edges`` → weighted ``pagerank`` →
+    this). Unknown keys get ``-default``.
     """
     if isinstance(ranks, DataFrame):
         id_c = key_col if key_col in ranks.columns else "id"  # pagerank's id
@@ -168,12 +169,17 @@ def rank_priority_fn(
     def prio() -> F.Column:
         if not mapping:
             return F.lit(-float(default))
+        if key_col == "host":
+            # links carry only url columns at priority time — derive
+            from ant_spark.functions.urlnorm import host_of
+
+            key = host_of(F.col("url"))
+        else:
+            key = F.col(key_col)
         lookup = F.create_map(
             *[F.lit(x) for kv in mapping.items() for x in kv]
         )
-        return -F.coalesce(
-            lookup[F.col(key_col)].cast("double"), F.lit(float(default))
-        )
+        return -F.coalesce(lookup[key].cast("double"), F.lit(float(default)))
 
     return prio
 

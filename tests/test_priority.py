@@ -107,3 +107,60 @@ def test_priority_join_table_matches_literal_map(spark):
         for r in res.fetched_log.orderBy("round").collect()
     ]
     assert order == ["/", "hub.html", "x.html", "p1.html", "p2.html"]
+
+
+def test_host_rank_priority_crawl(spark):
+    """Host-level composition end-to-end: URL edges → host_edges rollup →
+    weighted PageRank → rank_priority_fn(key_col='host') — under a global
+    1-fetch/round budget the crawler prefers pages on the higher-ranked
+    host (c.test, in-degree 2 in the host graph) over the earlier-
+    discovered b.test page."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from ant_spark.functions.htmldom import parse as hparse
+    from ant_spark.functions.htmldom import text as htext
+    from ant_spark.operators.graphops import host_edges, pagerank, rank_priority_fn
+
+    site = {
+        "http://a.test/": '<html><body><a href="http://b.test/1">b</a>'
+                          '<a href="http://c.test/1">c</a></body></html>',
+        "http://b.test/1": '<html><body><a href="http://c.test/2">c2</a>'
+                           '</body></html>',
+        "http://c.test/1": '<html><body><a href="http://c.test/2">c2</a>'
+                           '</body></html>',
+        "http://c.test/2": "<html><body>end</body></html>",
+    }
+    base = dt.datetime(2025, 1, 1, tzinfo=dt.timezone.utc)
+    pages = spark.createDataFrame(
+        pd.DataFrame(
+            [
+                {"url": u, "warc_ts": base, "html": h.encode(),
+                 "text": htext(hparse(h)), "lang": "en", "status": 200,
+                 "ok_after_attempt": None}
+                for u, h in site.items()
+            ]
+        ),
+        schema=schemas.PAGES,
+    )
+    edges = spark.createDataFrame(
+        [(u, d) for u, h in site.items()
+         for d in __import__("re").findall(r'href="([^"]+)"', h)],
+        "src string, dst string",
+    )
+    ranks = pagerank(
+        host_edges(edges), n_iter=3, src_col="src_host",
+        dst_col="dst_host", weight_col="weight",
+    )
+    prio = rank_priority_fn(ranks, key_col="host")
+    res = Engine(
+        spark, pages, None,
+        CrawlConfig(max_rounds=8, ordering="bfs", global_rate=1,
+                    queue_policy="priority", priority_fn=prio),
+    ).run(["http://a.test/"])
+    order = [r["url"] for r in res.fetched_log.orderBy("round").collect()]
+    assert order == [
+        "http://a.test/", "http://c.test/1", "http://c.test/2",
+        "http://b.test/1",
+    ]
