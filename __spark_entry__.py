@@ -919,6 +919,39 @@ def _q_warc_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_warc(spark, path).select("url", "status", "n_bytes")
 
 
+def _q_crawl_to_training(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The product story end-to-end in ONE verified artifact: crawl the
+    golden site → fetched text becomes the documents shape → curation
+    (empty-doc filter + exact-fingerprint dedup; a/b.html are whitespace-
+    only and drop) → LM sequence-packing plan. Deterministic (bfs crawl,
+    fixture texts), so the oracle replays the same chain in SQL from a
+    VALUES table of the pinned crawl output."""
+    from pyspark.sql import Window
+
+    from ant_spark import schemas
+    from ant_spark.engine import CrawlConfig, Engine
+    from ant_spark.operators import textops as T
+    from ant_spark.sources.webgraph import example_site
+
+    pages_pdf, robots_pdf, seeds = example_site()
+    pages = spark.createDataFrame(pages_pdf, schema=schemas.PAGES)
+    robots = spark.createDataFrame(robots_pdf, schema=schemas.ROBOTS)
+    res = Engine(
+        spark, pages, robots, CrawlConfig(max_rounds=6, ordering="bfs")
+    ).run(seeds)
+    docs = res.fetched_log.select(
+        F.col("seq").alias("doc_id"), "text", F.lit("crawl").alias("source")
+    )
+    nonempty = docs.filter(T.token_count(F.col("text")) >= 1)
+    w = Window.partitionBy(T.fingerprint(F.col("text"))).orderBy("doc_id")
+    deduped = (
+        nonempty.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    return T.pack_plan(deduped, capacity=64, group_col="source")
+
+
 def _q_robots_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Robots TTL re-fetch semantics (internal/robots/cache.go:36-78) as a
     deterministic differential crawl: the robots feed flips to Disallow at
@@ -1096,6 +1129,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_warc_source": _q_warc_source,
         "crawl_warc_tagsoup": _q_warc_tagsoup,
         "crawl_robots_ttl": _q_robots_ttl,
+        "crawl_to_training": _q_crawl_to_training,
         "media_features_stub": _q_media_features,
         "media_features_real": _q_media_features_real,
     }
@@ -1208,6 +1242,23 @@ def _unigram_whens_sql() -> str:
         f"WHEN '{k}' THEN {int(round(v * 100))}"
         for k, v in EN_UNIGRAM_LOGP.items()
     )
+
+
+def _training_values_sql() -> str:
+    """Pinned crawl output (doc_id=seq, text) for the crawl→training
+    pipeline oracle: the golden site's deterministic visited set, texts
+    from the same fixture constants the pages table carries."""
+    from ant_spark.functions.htmldom import parse as hparse
+    from ant_spark.functions.htmldom import text as htext
+    from ant_spark.sources.webgraph import _EXAMPLE_PAGES
+
+    visited = [(0, "/"), (1, "/about.html"), (2, "/products.html"),
+               (4, "/a.html"), (5, "/b.html")]
+    rows = []
+    for seq, pth in visited:
+        t = htext(hparse(_EXAMPLE_PAGES[pth])).replace("'", "''")
+        rows.append(f"({seq}, '{t}')")
+    return ", ".join(rows)
 
 
 def _soup_values_sql() -> str:
@@ -2216,6 +2267,36 @@ def oracle_sql() -> dict[str, str]:
         # crawl_warc_source: round-trip identity — the expected rows are
         # computed from the SAME fixture constants the query serializes
         # (url, status 200, exact utf-8 byte length per page).
+        # crawl_to_training: the composed pipeline over the PINNED crawl
+        # output — empty-doc filter (a/b.html are whitespace-only), exact
+        # dedup, then the two-pass-equivalent packing cumsum at capacity 64.
+        "crawl_to_training": f"""
+            WITH docs AS (
+              SELECT * FROM (VALUES {_training_values_sql()}) AS v(doc_id, text)),
+            t AS (
+              SELECT doc_id, 'crawl' AS source,
+                     {_TOKEN_SQL}::INT AS n_tokens,
+                     md5({_NORM_TEXT_SQL}) AS fp
+              FROM docs
+              WHERE {_TOKEN_SQL} >= 1),
+            d AS (
+              SELECT * FROM (
+                SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+                FROM t) WHERE rn = 1),
+            c AS (
+              SELECT doc_id, source, n_tokens,
+                coalesce(sum(n_tokens) OVER (
+                  PARTITION BY source ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS cum_before
+              FROM d)
+            SELECT doc_id, source, n_tokens,
+                   (cum_before // 64)::BIGINT AS start_pack,
+                   (cum_before % 64)::BIGINT AS offset,
+                   ((cum_before + greatest(n_tokens - 1, 0)) // 64
+                    - cum_before // 64 + 1)::BIGINT AS n_windows
+            FROM c
+        """,
         # crawl_robots_ttl: deterministic differential TTL crawl — short
         # TTL applies the round-1 Disallow flip at round 2 (blocked denied),
         # long TTL keeps the allow-all snapshot (blocked fetched round 2).
