@@ -690,6 +690,16 @@ def _q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", unigram_logprob(F.col("text")).alias("lp"))
 
 
+def _q_top_idf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document keyword extraction: top-3 terms by tf × linear-idf in
+    exact integer arithmetic (hash-stable across engines; a log idf would
+    flap at libm ulp boundaries)."""
+    from ant_spark.operators.textops import top_idf_terms
+
+    docs = _t(spark, sf_dir, "documents")
+    return top_idf_terms(docs, top_k=3, min_len=4)
+
+
 def _q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-document repeated-SPAN signal: winnowed fingerprints shared by
     ≥2 docs (the exact-substring dup family of Lee et al. 2022 at winnowing
@@ -1098,6 +1108,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_simhash_near_dup": _q_simhash_pairs,
         "text_winnow_fingerprints": _q_winnow,
         "text_duplicate_spans": _q_duplicate_spans,
+        "text_top_idf_terms": _q_top_idf_terms,
         "text_incremental_new": _q_incremental_new,
         "text_pack_plan": _q_pack_plan,
         "text_content_flags": _q_content_flags,
@@ -1676,6 +1687,28 @@ def oracle_sql() -> dict[str, str]:
                    THEN round(1.0 - len(list_distinct(sh))::DOUBLE / len(sh), 4)
                    ELSE 0.0 END AS rep_score
             FROM (SELECT doc_id, {_SHINGLES_SQL} AS sh FROM documents)
+        """,
+        "text_top_idf_terms": f"""
+            WITH terms AS (
+              SELECT doc_id, unnest(list_filter({_WORDS_SQL},
+                       w -> len(w) >= 4)) AS term
+              FROM documents),
+            tf AS (
+              SELECT doc_id, term, count(*)::BIGINT AS tf
+              FROM terms GROUP BY doc_id, term),
+            dfreq AS (
+              SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+            n AS (SELECT count(*)::BIGINT AS _n FROM documents),
+            scored AS (
+              SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+                     tf.tf * ((n._n * 1000) // dfreq.df) AS score
+              FROM tf JOIN dfreq USING (term) CROSS JOIN n),
+            ranked AS (
+              SELECT *, row_number() OVER (
+                PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rk
+              FROM scored)
+            SELECT doc_id, term, tf, df, score
+            FROM ranked WHERE rk <= 3
         """,
         "text_duplicate_spans": f"""
             WITH hs AS (

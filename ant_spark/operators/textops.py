@@ -922,3 +922,51 @@ def incremental_new(
     fps = new_docs.withColumn("_fp", fingerprint(F.col(text_col)))
     seen = seen_fps.select(F.col("fp").alias("_fp")).distinct()
     return fps.join(seen, "_fp", "left_anti").drop("_fp")
+
+
+def top_idf_terms(
+    docs: DataFrame,
+    text_col: str = "text",
+    top_k: int = 3,
+    min_len: int = 4,
+    scale: int = 1000,
+) -> DataFrame:
+    """(doc_id, term, tf, df, score) — top-``top_k`` keyword terms per doc
+    by tf × (N·scale DIV df): document-frequency-weighted keyword
+    extraction (the linear-idf member of the tf-idf family, kept in EXACT
+    integer arithmetic — a log-idf uses transcendental libm calls that can
+    differ by 1 ulp across engines, which a hash-comparing gate cannot
+    tolerate; for ranking keywords the monotone-in-1/df linear weight is
+    the standard determinism-safe stand-in).
+
+    Scale shape: one explode + two map-side-combinable groupBys on
+    near-uniform keys (doc_id×term, then term), N via a 1-row agg
+    cross-join (no driver action), and a per-doc top-k window bounded by
+    the doc's vocabulary — never corpus-wide. Ties break (score desc,
+    term asc), deterministic.
+    """
+    from pyspark.sql import Window
+
+    terms = docs.select(
+        "doc_id",
+        F.explode(
+            F.filter(words_of(F.col(text_col)), lambda w: F.length(w) >= min_len)
+        ).alias("term"),
+    )
+    tf = terms.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n = docs.agg(F.count("*").cast("long").alias("_n"))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("term").asc()
+    )
+    return (
+        tf.join(df, "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "score",
+            F.col("tf") * F.expr(f"(_n * {int(scale)}) DIV df"),
+        )
+        .withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= top_k)
+        .select("doc_id", "term", "tf", "df", "score")
+    )

@@ -467,3 +467,29 @@ def test_duplicate_spans_and_incremental_new(spark):
     )
     kept = sorted(r["doc_id"] for r in incremental_new(new, prev).collect())
     assert kept == [11]  # 10 is byte-identical content to snapshot doc 1
+
+
+def test_top_idf_terms(spark):
+    from ant_spark.operators.textops import top_idf_terms
+
+    docs = spark.createDataFrame(
+        [
+            (1, "zebra zebra common words common everywhere always"),
+            (2, "common words everywhere always nothing special here"),
+            (3, "quokka appears once only common words everywhere always"),
+        ],
+        "doc_id long, text string",
+    )
+    out = top_idf_terms(docs, top_k=2, min_len=4).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # doc 1: 'zebra' (tf=2, df=1) must beat any common term (df=3)
+    assert by_doc[1][0]["term"] == "zebra"
+    assert by_doc[1][0]["tf"] == 2 and by_doc[1][0]["df"] == 1
+    assert by_doc[1][0]["score"] == 2 * ((3 * 1000) // 1)
+    # doc 3: unique (df=1) terms outrank shared vocabulary; equal scores
+    # tie-break alphabetically ('appears' < 'once' < 'only' < 'quokka')
+    assert [r["term"] for r in by_doc[3]] == ["appears", "once"]
+    assert all(r["df"] == 1 for r in by_doc[3])
+    assert all(len(v) == 2 for v in by_doc.values())
