@@ -929,6 +929,21 @@ def _q_warc_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_warc(spark, path).select("url", "status", "n_bytes")
 
 
+def _q_anchor_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchor-text edge extraction over the golden site: (src, dst, anchor)
+    per <a href> — hrefs resolved+normalized like the frontier's links,
+    anchors per scan.Text (nodes.go:27-48). The classic ranking signal
+    (incoming anchor text describes the target) and an anchor corpus for
+    training; VALUES oracle built from the same fixture constants."""
+    from ant_spark import schemas
+    from ant_spark.functions.parse import anchor_text_edges
+    from ant_spark.sources.webgraph import example_site
+
+    pages_pdf, _, _ = example_site()
+    pages = spark.createDataFrame(pages_pdf, schema=schemas.PAGES)
+    return anchor_text_edges(pages)
+
+
 def _q_crawl_to_training(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The product story end-to-end in ONE verified artifact: crawl the
     golden site → fetched text becomes the documents shape → curation
@@ -1139,6 +1154,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_priority_order": _q_crawl_priority,
         "crawl_warc_source": _q_warc_source,
         "crawl_warc_tagsoup": _q_warc_tagsoup,
+        "crawl_anchor_text": _q_anchor_text,
         "crawl_robots_ttl": _q_robots_ttl,
         "crawl_to_training": _q_crawl_to_training,
         "media_features_stub": _q_media_features,
@@ -1253,6 +1269,26 @@ def _unigram_whens_sql() -> str:
         f"WHEN '{k}' THEN {int(round(v * 100))}"
         for k, v in EN_UNIGRAM_LOGP.items()
     )
+
+
+def _anchor_values_sql() -> str:
+    """Expected crawl_anchor_text rows from the fixture constants, via the
+    same single-node extractor the Arrow UDF wraps (driver-side build of
+    the pinned VALUES — verifies the DISTRIBUTED path reproduces it)."""
+    from ant_spark.functions.parse import extract_anchors
+    from ant_spark.functions.urlnorm import normalize_or_none
+    from ant_spark.sources.webgraph import _EXAMPLE_PAGES
+
+    rows = []
+    for pth, html in sorted(_EXAMPLE_PAGES.items()):
+        src = f"http://example.com{pth}"
+        for dst, anchor in extract_anchors(html, src):
+            n = normalize_or_none(dst)
+            if n is None:
+                continue
+            a = anchor.replace("'", "''")
+            rows.append(f"('{src}', '{n}', '{a}')")
+    return ", ".join(rows)
 
 
 def _training_values_sql() -> str:
@@ -2300,6 +2336,10 @@ def oracle_sql() -> dict[str, str]:
         # crawl_warc_source: round-trip identity — the expected rows are
         # computed from the SAME fixture constants the query serializes
         # (url, status 200, exact utf-8 byte length per page).
+        "crawl_anchor_text": f"""
+            SELECT src, dst, anchor
+            FROM (VALUES {_anchor_values_sql()}) AS t(src, dst, anchor)
+        """,
         # crawl_to_training: the composed pipeline over the PINNED crawl
         # output — empty-doc filter (a/b.html are whitespace-only), exact
         # dedup, then the two-pass-equivalent packing cumsum at capacity 64.

@@ -163,3 +163,24 @@ def test_stray_in_body_head_ignored():
         s, d = stream_extract(html), fast_extract(parse(html))
         assert s == d, (html, s, d)
     assert stream_extract("<p><head><p>  </p>text ")[0] == "  text "
+
+
+def test_extract_anchors_semantics():
+    """(resolved_url, anchor) pairs in document order; anchor = scan.Text
+    of the <a> node verbatim (nested markup flattened, no trimming);
+    raw-text decoy links never appear."""
+    from ant_spark.functions.parse import extract_anchors
+
+    html = (
+        '<html><body><a href="/x">click <b>here</b></a>'
+        '<a href="http://other.test/y"> spaced </a>'
+        '<a href="mailto:z@q">mail</a>'
+        '<textarea><a href="/fake">f</a></textarea>'
+        '<a href="/empty"></a></body></html>'
+    )
+    got = extract_anchors(html, "http://h.test/p/")
+    assert got == [
+        ("http://h.test/x", "click here"),
+        ("http://other.test/y", " spaced "),
+        ("http://h.test/empty", ""),
+    ]
