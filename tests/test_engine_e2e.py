@@ -330,3 +330,47 @@ def test_bucketed_both_crash_between_stage_and_commit(spark, tmp_path):
     urls = [r["url"] for r in res.fetched_log.collect()]
     assert sorted(set(urls)) == sorted(urls)  # exactly-once despite orphans
     assert set(urls) == set(pages_pdf.url)  # full coverage after resume
+
+
+def test_resume_with_priority_join_and_robots_ttl(spark, tmp_path):
+    """Kill/resume exactly-once with the round-5 features ON together:
+    a joined priority table reorders fetches and a TTL'd robots feed is in
+    play — the resumed crawl must neither refetch nor lose pages."""
+    from pyspark.sql import functions as F
+
+    from ant_spark.functions.parse import make_links_udf
+    from ant_spark.operators.graphops import pagerank, rank_priority_table
+    from ant_spark.sources.webgraph import example_hub_site
+
+    pages_pdf, robots_pdf, seeds = example_hub_site()
+    pages = spark.createDataFrame(pages_pdf, schema=schemas.PAGES)
+    links_udf = make_links_udf()
+    edges = pages.select(
+        F.col("url").alias("src"),
+        F.explode(links_udf(F.col("url"), F.col("html"))).alias("dst"),
+    )
+    ptab = rank_priority_table(pagerank(edges, n_iter=3))
+    feed = spark.createDataFrame(
+        [("example.com", 200, "User-Agent: *\nDisallow:\n", None, None)],
+        schema=schemas.ROBOTS,
+    )
+    ckpt = str(tmp_path / "ck")
+    base = dict(
+        ordering="bfs", host_rates={"example.com": 1},
+        queue_policy="priority", priority_join=ptab,
+        robots_max_age_seconds=2.0, checkpoint_dir=ckpt,
+    )
+    res1 = Engine(
+        spark, pages, feed, CrawlConfig(max_rounds=2, **base)
+    ).run(seeds)
+    first = {r["url"] for r in res1.fetched_log.collect()}
+    assert first == {"http://example.com/", "http://example.com/hub.html"}
+
+    res2 = Engine(
+        spark, pages, feed, CrawlConfig(max_rounds=12, **base)
+    ).run(seeds, resume=True)
+    rows = res2.fetched_log.orderBy("round").collect()
+    order = [r["url"].rsplit("/", 1)[-1] or "/" for r in rows]
+    assert order == ["/", "hub.html", "x.html", "p1.html", "p2.html"]
+    # exactly-once: no url appears twice across the resumed log
+    assert len({r["url"] for r in rows}) == len(rows)
