@@ -266,3 +266,68 @@ def stream_url_dedupe(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_curate(
+    spark: SparkSession,
+    warc_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    langs: tuple = ("en",),
+    min_quality: float = 0.5,
+    watermark: str = "2 hours",
+    available_now: bool = True,
+):
+    """Incremental curation over LANDING WARC segments — the streaming
+    composition of the round-5 ingest + curation stack: ``stream_warc``
+    (exactly-once per segment file) → per-row enrichment (language id,
+    quality score, token count — all native exprs, codegen inside the
+    micro-batch) → lang/quality floor → exact content dedupe via
+    ``dropDuplicatesWithinWatermark`` on the (fingerprint) key, so a page
+    re-crawled across nearby segments is curated ONCE and state stays
+    bounded by the watermark horizon instead of the corpus.
+
+    The near-dup LSH chain deliberately stays a BATCH job over landed
+    segments (operators/curation.curate): banded self-joins need the
+    candidate universe, which a watermark-bounded stream cannot hold —
+    the standard lambda split (stream = cheap exact delta, batch = deep
+    dedupe sweep). Output parquet rows: (doc_key, warc_ts, lang_id,
+    quality, n_tokens, text).
+    """
+    from ant_spark.functions.parse import make_text_udf
+    from ant_spark.operators import textops as T
+    from ant_spark.sources.warc import stream_warc
+
+    recs = stream_warc(spark, warc_dir)
+    text_udf = make_text_udf()  # scan.Text extraction, Arrow-batched
+    docs = recs.select(
+        F.col("url").alias("doc_key"),
+        "warc_ts",
+        text_udf(F.col("html")).alias("text"),
+    )
+    enriched = docs.select(
+        "doc_key",
+        "warc_ts",
+        "text",
+        T.language_id(F.col("text")).alias("lang_id"),
+        T.quality_score(F.col("text")).alias("quality"),
+        T.token_count(F.col("text")).alias("n_tokens"),
+        T.fingerprint(F.col("text")).alias("fp"),
+    )
+    kept = (
+        enriched.filter(
+            F.col("lang_id").isin(*langs) & (F.col("quality") >= min_quality)
+        )
+        .withWatermark("warc_ts", watermark)
+        .dropDuplicatesWithinWatermark(["fp"])
+        .select("doc_key", "warc_ts", "lang_id", "quality", "n_tokens", "text")
+    )
+    writer = (
+        kept.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -300,3 +300,63 @@ def test_stream_url_dedupe(spark, tmp_path):
     q.awaitTermination(300)
     got = [r["url"] for r in spark.read.parquet(out).collect()]
     assert sorted(got) == sorted({r["url"] for r in rows})  # exactly-once
+
+
+def test_stream_curate_incremental(spark, tmp_path):
+    """Streaming curation over landing WARC segments: enrichment + lang/
+    quality floor per micro-batch, exact-fingerprint dedupe across
+    segments within the watermark (a re-crawled page curates once), and
+    exactly-once per segment across availableNow restarts."""
+    import datetime as dt
+
+    from ant_spark.sources.warc import write_warc
+    from ant_spark.streaming.pipeline import stream_curate
+
+    base = dt.datetime(2025, 1, 1, tzinfo=dt.timezone.utc)
+    good_a = ("the river boats carried the grain to the market town where "
+              "the people of the valley traded the goods and the news of "
+              "the harvest season with the merchants")
+    good_d = ("the observatory on the hill records the weather and the "
+              "stars for the scholars of the city who publish the tables "
+              "of the tides and the seasons for the sailors")
+    bad_b = "zz qq xx vv"  # no English markers, low quality
+
+    def rec(url, body_text, ts):
+        return {
+            "url": url,
+            "warc_ts": ts,
+            "status": 200,
+            "html": f"<html><body>{body_text}</body></html>".encode(),
+        }
+
+    seg_dir = tmp_path / "segs"
+    seg_dir.mkdir()
+    write_warc(
+        [rec("http://s.test/a", good_a, base),
+         rec("http://s.test/b", bad_b, base)],
+        str(seg_dir / "seg-0.warc.gz"),
+    )
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ck")
+
+    def drain():
+        q = stream_curate(
+            spark, str(seg_dir), out, ckpt,
+            langs=("en",), min_quality=0.5, watermark="2 hours",
+        )
+        q.awaitTermination(120)
+        return {r["doc_key"]: r for r in spark.read.parquet(out).collect()}
+
+    got = drain()
+    assert set(got) == {"http://s.test/a"}  # b filtered out
+    assert got["http://s.test/a"]["lang_id"] == "en"
+    assert got["http://s.test/a"]["n_tokens"] >= 20
+
+    # second segment: a duplicate of A under a new URL + one new doc
+    write_warc(
+        [rec("http://s.test/a-mirror", good_a, base + dt.timedelta(minutes=30)),
+         rec("http://s.test/d", good_d, base + dt.timedelta(minutes=31))],
+        str(seg_dir / "seg-1.warc.gz"),
+    )
+    got = drain()
+    assert set(got) == {"http://s.test/a", "http://s.test/d"}  # mirror deduped
