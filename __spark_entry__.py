@@ -929,6 +929,33 @@ def _q_warc_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_warc(spark, path).select("url", "status", "n_bytes")
 
 
+def _q_sitemap_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap seed source round-trip: a gzipped sitemaps.org urlset (with
+    lastmod/priority hints, a bogus priority and a namespaced schema)
+    through the binaryFile → Arrow XML parser; records pinned as a VALUES
+    oracle. The seeds feed Engine.run's bulk path with the <priority>
+    hints as queue priorities (pytest test_sitemap drives the crawl)."""
+    import gzip as _gz
+    import tempfile
+
+    from ant_spark.sources.sitemap import read_sitemap
+
+    sm = (
+        b'<?xml version="1.0" encoding="UTF-8"?>\n'
+        b'<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">\n'
+        b'  <url><loc>http://example.com/about.html</loc>'
+        b'<lastmod>2025-01-01</lastmod><priority>0.4</priority></url>\n'
+        b'  <url><loc>http://example.com/</loc><priority>0.9</priority></url>\n'
+        b'  <url><loc>http://example.com/products.html</loc>'
+        b'<priority>bogus</priority></url>\n'
+        b'</urlset>\n'
+    )
+    path = tempfile.mktemp(suffix=".xml.gz", prefix="ant_sitemap_")
+    with open(path, "wb") as f:
+        f.write(_gz.compress(sm))
+    return read_sitemap(spark, path)
+
+
 def _q_anchor_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Anchor-text edge extraction over the golden site: (src, dst, anchor)
     per <a href> — hrefs resolved+normalized like the frontier's links,
@@ -1155,6 +1182,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_warc_source": _q_warc_source,
         "crawl_warc_tagsoup": _q_warc_tagsoup,
         "crawl_anchor_text": _q_anchor_text,
+        "crawl_sitemap_seeds": _q_sitemap_source,
         "crawl_robots_ttl": _q_robots_ttl,
         "crawl_to_training": _q_crawl_to_training,
         "media_features_stub": _q_media_features,
@@ -2336,6 +2364,17 @@ def oracle_sql() -> dict[str, str]:
         # crawl_warc_source: round-trip identity — the expected rows are
         # computed from the SAME fixture constants the query serializes
         # (url, status 200, exact utf-8 byte length per page).
+        "crawl_sitemap_seeds": """
+            SELECT loc, kind, lastmod, changefreq, priority
+            FROM (VALUES
+              ('http://example.com/about.html', 'url', '2025-01-01',
+               NULL::VARCHAR, 0.4::DOUBLE),
+              ('http://example.com/', 'url', NULL::VARCHAR,
+               NULL::VARCHAR, 0.9::DOUBLE),
+              ('http://example.com/products.html', 'url', NULL::VARCHAR,
+               NULL::VARCHAR, NULL::DOUBLE)
+            ) AS t(loc, kind, lastmod, changefreq, priority)
+        """,
         "crawl_anchor_text": f"""
             SELECT src, dst, anchor
             FROM (VALUES {_anchor_values_sql()}) AS t(src, dst, anchor)

@@ -671,15 +671,23 @@ class Engine:
             # seq assigned JVM-side, partition-parallel (unique+deterministic:
             # rank-within-hash-partition × stride + partition), for huge seed
             # sets where a total order or driver-side Python would serialize.
+            # An optional `priority` column (higher = more important, e.g. a
+            # sitemap's <priority>) becomes the queue priority (negated —
+            # lower dequeues first), observed under queue_policy='priority'.
             P = cfg.seq_partitions
             part = F.pmod(F.xxhash64("url"), F.lit(P))
             w = Window.partitionBy(part).orderBy("url")
-            seed_urls = seeds.select("url").distinct()
+            has_prio = "priority" in seeds.columns
+            seed_cols = ["url"] + (["priority"] if has_prio else [])
+            seed_urls = seeds.select(*seed_cols).distinct()
             if cfg.matcher is not None:
                 # matcher BEFORE seq assignment: excluded seeds must not
                 # consume seq values later reused by discovered links
                 # (seq is the global-uniqueness key for budget anti-joins).
                 seed_urls = seed_urls.filter(cfg.matcher(F.col("url")))
+            prio_col = (
+                (-F.col("priority")).cast("double") if has_prio else F.lit(0.0)
+            )
             frontier = (
                 seed_urls
                 .withColumn(
@@ -692,7 +700,7 @@ class Engine:
                     host_of(F.col("url")).alias("host"),
                     F.lit(0).alias("depth"),
                     "seq",
-                    F.lit(0.0).alias("priority"),
+                    prio_col.alias("priority"),
                     F.lit(1).alias("attempt"),
                     F.lit(0).cast("long").alias("not_before"),
                 )

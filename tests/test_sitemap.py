@@ -1,0 +1,79 @@
+"""Sitemap seed source: XML parsing, index handling, engine composition."""
+
+import gzip
+
+import pytest
+
+from ant_spark import schemas
+from ant_spark.engine import CrawlConfig, Engine
+from ant_spark.sources.sitemap import (
+    parse_sitemap_bytes,
+    read_sitemap,
+    sitemap_seeds,
+)
+from ant_spark.sources.webgraph import example_site
+
+_SM = (
+    b'<?xml version="1.0" encoding="UTF-8"?>\n'
+    b'<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">\n'
+    b'  <url><loc>http://example.com/about.html</loc>'
+    b'<lastmod>2025-01-01</lastmod><priority>0.4</priority></url>\n'
+    b'  <url><loc>http://example.com/</loc><priority>0.9</priority></url>\n'
+    b'  <url><loc>http://example.com/products.html</loc>'
+    b'<priority>bogus</priority></url>\n'
+    b'</urlset>\n'
+)
+
+
+def test_parse_sitemap_lenient():
+    recs = list(parse_sitemap_bytes(_SM))
+    assert [r["loc"] for r in recs] == [
+        "http://example.com/about.html",
+        "http://example.com/",
+        "http://example.com/products.html",
+    ]
+    assert recs[0]["priority"] == 0.4 and recs[0]["lastmod"] == "2025-01-01"
+    assert recs[2]["priority"] is None  # bogus float -> NULL, not a crash
+    # gzip transparently; garbage and truncation never raise
+    assert list(parse_sitemap_bytes(gzip.compress(_SM))) == recs
+    assert list(parse_sitemap_bytes(b"not xml")) == []
+    cut = _SM.index(b"</url>") + len(b"</url>") + 4  # inside entry #2
+    truncated = list(parse_sitemap_bytes(_SM[:cut]))
+    assert [r["loc"] for r in truncated] == ["http://example.com/about.html"]
+    # sitemapindex entries come back kind='sitemap'
+    idx = (b'<sitemapindex><sitemap><loc>http://example.com/s1.xml.gz</loc>'
+           b'</sitemap></sitemapindex>')
+    (rec,) = parse_sitemap_bytes(idx)
+    assert rec["kind"] == "sitemap"
+
+
+def test_sitemap_seeded_crawl(spark, tmp_path):
+    """Bulk-seed composition: read_sitemap → sitemap_seeds (url, priority)
+    → Engine.run under queue_policy='priority' with a 1-fetch/round host
+    budget — fetch ROUNDS follow the site's own <priority> hints (0.9 /,
+    default-0.5 products, 0.4 about), then the discovered pages; the full
+    reachable set is still crawled exactly once."""
+    p = tmp_path / "site.xml.gz"
+    p.write_bytes(gzip.compress(_SM))
+    sm = read_sitemap(spark, str(p))
+    assert sm.count() == 3
+    seeds = sitemap_seeds(sm)
+    got = {r["url"]: r["priority"] for r in seeds.collect()}
+    assert got == {
+        "http://example.com/": 0.9,
+        "http://example.com/products.html": 0.5,  # NULL -> spec default
+        "http://example.com/about.html": 0.4,
+    }
+    pages_pdf, robots_pdf, _ = example_site()
+    pages = spark.createDataFrame(pages_pdf, schema=schemas.PAGES)
+    robots = spark.createDataFrame(robots_pdf, schema=schemas.ROBOTS)
+    res = Engine(
+        spark, pages, robots,
+        CrawlConfig(max_rounds=12, queue_policy="priority",
+                    host_rates={"example.com": 1}),
+    ).run(seeds)
+    rows = res.fetched_log.orderBy("round").collect()
+    order = [r["url"].rsplit("/", 1)[-1] or "/" for r in rows]
+    assert order[:3] == ["/", "products.html", "about.html"]  # hint order
+    assert set(order[3:]) == {"a.html", "b.html"}  # discovered afterwards
+    assert len(set(order)) == len(order)  # exactly-once
