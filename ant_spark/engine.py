@@ -678,8 +678,18 @@ class Engine:
             part = F.pmod(F.xxhash64("url"), F.lit(P))
             w = Window.partitionBy(part).orderBy("url")
             has_prio = "priority" in seeds.columns
-            seed_cols = ["url"] + (["priority"] if has_prio else [])
-            seed_urls = seeds.select(*seed_cols).distinct()
+            if has_prio:
+                # one row per URL even when the same URL carries different
+                # priority hints (e.g. merged sitemap files): max = the
+                # most-important hint wins (higher-wins convention, negated
+                # below). A plain distinct over (url, priority) would enqueue
+                # the URL twice with two seqs — double-fetched and
+                # double-counted in budgets/metrics.
+                seed_urls = seeds.groupBy("url").agg(
+                    F.max("priority").alias("priority")
+                )
+            else:
+                seed_urls = seeds.select("url").distinct()
             if cfg.matcher is not None:
                 # matcher BEFORE seq assignment: excluded seeds must not
                 # consume seq values later reused by discovered links

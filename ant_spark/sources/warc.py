@@ -21,11 +21,11 @@ the engine runnable straight off such files:
   one gzip member per record (the CC convention). Driver-side by design —
   tests and small exports.
 - ``write_warc_distributed(df, dir_path)`` — the production sink: one
-  ``part-NNNNN.warc[.gz]`` file per partition via ``foreachPartition``
-  (executors stream rows, nothing collects to the driver), one gzip
-  member per record, plus a ``MANIFEST.json`` with per-part record
-  counts. ``dir_path`` must be a filesystem all executors share (as with
-  any Spark file output).
+  ``part-NNNNN.warc[.gz]`` file per partition (executors stream rows;
+  only a (part, count) row per partition returns to the driver for
+  MANIFEST assembly), one gzip member per record, plus a
+  ``MANIFEST.json`` with per-part record counts. ``dir_path`` must be a
+  filesystem all executors share (as with any Spark file output).
 
 Malformed-record policy (real Common-Crawl segments contain occasional
 broken records): ``parse_warc_bytes`` never lets one bad record kill the
@@ -67,6 +67,14 @@ WARC_RECORDS = StructType(
     ]
 )
 
+# streaming variant adds the segment file's mtime: the landing time is the
+# event-time fallback for records whose WARC-Date failed to parse (NULL
+# warc_ts) — see stream_curate's watermark policy in streaming/pipeline.py.
+WARC_STREAM_RECORDS = StructType(
+    WARC_RECORDS.fields
+    + [StructField("segment_mtime", TimestampType(), True)]
+)
+
 _CRLF = b"\r\n"
 
 
@@ -104,40 +112,62 @@ def write_warc(rows, path: str, compress: bool = True) -> int:
 
 
 def write_warc_distributed(df: DataFrame, dir_path: str, compress: bool = True) -> int:
-    """Distributed WARC sink: one part-file per partition via
-    ``foreachPartition`` — the production shape for a 100 TB export.
+    """Distributed WARC sink: one part-file per partition — the production
+    shape for a 100 TB export.
 
     Each executor streams its partition's (url, warc_ts, status, html) rows
     straight to ``part-NNNNN.warc[.gz]`` (one gzip member per record, the CC
-    seek-point convention), writing to a dotted temp name and renaming on
-    close so readers never see a half-written part. A ``.count`` sidecar per
-    part lets the driver assemble ``MANIFEST.json`` (total + per-part record
-    counts) without re-reading any data. Empty partitions write nothing.
+    seek-point convention), writing to a temp name that embeds the task
+    attempt id (retried / speculative attempts never collide) and renaming
+    on close so readers never see a half-written part. Per-part record
+    counts travel back as the task results of a ``mapPartitions`` — a
+    one-row-per-partition collect — so ``MANIFEST.json`` assembly needs no
+    driver-side directory listing of sidecar files (object-store friendly).
+    Empty partitions write nothing. Rows whose ``warc_ts`` is NULL (the
+    lenient reader emits those for malformed WARC-Date records) are written
+    with the epoch sentinel ``1970-01-01T00:00:00Z``, consistent with the
+    module's keep-don't-crash policy.
 
-    ``dir_path`` must be visible to all executors (shared FS / fuse mount) —
-    the same contract as every Spark file sink. Returns the total record
-    count. Read back with ``read_warc(spark, dir_path + "/part-*.warc.gz")``.
+    ``dir_path`` must be a POSIX path visible to all executors (shared FS /
+    fuse mount); raises if it already holds part files or a manifest (a
+    reused dir would keep stale parts the new MANIFEST doesn't reflect).
+    Returns the total record count. Read back with
+    ``read_warc(spark, dir_path + "/part-*.warc.gz")``.
     """
     import json
     import os
 
     os.makedirs(dir_path, exist_ok=True)
+    stale = [
+        fn for fn in os.listdir(dir_path)
+        if fn.startswith("part-") or fn == "MANIFEST.json"
+    ]
+    if stale:
+        raise ValueError(
+            f"write_warc_distributed: {dir_path} already contains "
+            f"{sorted(stale)[:3]}... — refusing to mix runs; use a fresh dir"
+        )
     ext = ".warc.gz" if compress else ".warc"
     rows = df.select("url", "warc_ts", "status", "html")
 
-    def write_part(it) -> None:
+    def write_part(it):
         from pyspark import TaskContext
 
-        pid = TaskContext.get().partitionId()
-        name = f"part-{pid:05d}{ext}"
-        tmp = os.path.join(dir_path, f".{name}.tmp")
+        ctx = TaskContext.get()
+        name = f"part-{ctx.partitionId():05d}{ext}"
+        tmp = os.path.join(dir_path, f".{name}.{ctx.taskAttemptId()}.tmp")
         n = 0
         f = None
         try:
             for r in it:
                 if f is None:
                     f = open(tmp, "wb")
-                ts_iso = r["warc_ts"].strftime("%Y-%m-%dT%H:%M:%SZ")
+                ts = r["warc_ts"]
+                ts_iso = (
+                    ts.strftime("%Y-%m-%dT%H:%M:%SZ")
+                    if ts is not None
+                    else "1970-01-01T00:00:00Z"
+                )
                 rec = _record_bytes(r["url"], ts_iso, int(r["status"]), bytes(r["html"]))
                 f.write(gzip.compress(rec) if compress else rec)
                 n += 1
@@ -146,17 +176,9 @@ def write_warc_distributed(df: DataFrame, dir_path: str, compress: bool = True) 
                 f.close()
         if n:
             os.replace(tmp, os.path.join(dir_path, name))
-            with open(os.path.join(dir_path, f".{name}.count"), "w") as cf:
-                cf.write(str(n))
+            yield (name, n)
 
-    rows.foreachPartition(write_part)
-
-    parts = {}
-    for fn in sorted(os.listdir(dir_path)):
-        if fn.endswith(".count"):
-            with open(os.path.join(dir_path, fn)) as cf:
-                parts[fn[1 : -len(".count")]] = int(cf.read())
-            os.remove(os.path.join(dir_path, fn))
+    parts = dict(rows.rdd.mapPartitions(write_part).collect())
     total = sum(parts.values())
     with open(os.path.join(dir_path, "MANIFEST.json"), "w") as mf:
         json.dump({"records": total, "parts": parts}, mf, indent=1, sort_keys=True)
@@ -314,7 +336,7 @@ def stream_warc(spark: SparkSession, path: str) -> DataFrame:
         spark.readStream.format("binaryFile")
         .schema(file_schema)
         .load(path)
-        .select("content")
+        .select("content", "modificationTime")
     )
 
     def fn(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
@@ -327,9 +349,12 @@ def stream_warc(spark: SparkSession, path: str) -> DataFrame:
                 return None
             return ts.tz_localize(None) if ts.tzinfo is not None else ts
 
+        def naive(ts):
+            return ts.tz_localize(None) if getattr(ts, "tzinfo", None) else ts
+
         for b in batches:
             out = []
-            for content in b["content"]:
+            for content, mtime in zip(b["content"], b["modificationTime"]):
                 for rec in parse_warc_bytes(bytes(content)):
                     out.append(
                         {
@@ -338,10 +363,15 @@ def stream_warc(spark: SparkSession, path: str) -> DataFrame:
                             "status": rec["status"],
                             "html": rec["html"],
                             "n_bytes": len(rec["html"]),
+                            "segment_mtime": naive(mtime),
                         }
                     )
             yield pd.DataFrame(
-                out, columns=["url", "warc_ts", "status", "html", "n_bytes"]
+                out,
+                columns=[
+                    "url", "warc_ts", "status", "html", "n_bytes",
+                    "segment_mtime",
+                ],
             )
 
-    return files.mapInPandas(fn, WARC_RECORDS)
+    return files.mapInPandas(fn, WARC_STREAM_RECORDS)

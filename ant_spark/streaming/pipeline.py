@@ -300,9 +300,15 @@ def stream_curate(
 
     recs = stream_warc(spark, warc_dir)
     text_udf = make_text_udf()  # scan.Text extraction, Arrow-batched
+    # Event-time policy: the lenient WARC reader emits NULL warc_ts for
+    # malformed WARC-Date records; a NULL event time inside a watermarked
+    # stateful dedupe is dropped rather than curated, silently losing an
+    # otherwise-valid document. Substitute the segment file's mtime (the
+    # landing time — always present, monotone per segment) so those rows
+    # stay inside the watermark horizon and are curated normally.
     docs = recs.select(
         F.col("url").alias("doc_key"),
-        "warc_ts",
+        F.coalesce("warc_ts", "segment_mtime").alias("warc_ts"),
         text_udf(F.col("html")).alias("text"),
     )
     enriched = docs.select(

@@ -360,3 +360,41 @@ def test_stream_curate_incremental(spark, tmp_path):
     )
     got = drain()
     assert set(got) == {"http://s.test/a", "http://s.test/d"}  # mirror deduped
+
+
+def test_stream_curate_malformed_date_uses_segment_mtime(spark, tmp_path):
+    """Round-5 ADVICE regression: a record whose WARC-Date failed to parse
+    (NULL warc_ts from the lenient reader) must still be curated — its
+    event time falls back to the segment file's mtime instead of the row
+    being dropped by the watermarked stateful dedupe."""
+    from ant_spark.sources.warc import _record_bytes
+    from ant_spark.streaming.pipeline import stream_curate
+
+    good_a = ("the river boats carried the grain to the market town where "
+              "the people of the valley traded the goods and the news of "
+              "the harvest season with the merchants")
+    good_b = ("the observatory on the hill records the weather and the "
+              "stars for the scholars of the city who publish the tables "
+              "of the tides and the seasons for the sailors")
+    recs = (
+        _record_bytes(
+            "http://m.test/ok", "2025-01-01T00:00:00Z", 200,
+            f"<html><body>{good_a}</body></html>".encode(),
+        )
+        + _record_bytes(
+            "http://m.test/bad-date", "not-a-date", 200,
+            f"<html><body>{good_b}</body></html>".encode(),
+        )
+    )
+    seg_dir = tmp_path / "segs"
+    seg_dir.mkdir()
+    (seg_dir / "seg-0.warc").write_bytes(recs)
+    out = str(tmp_path / "out")
+    q = stream_curate(
+        spark, str(seg_dir), out, str(tmp_path / "ck"),
+        langs=("en",), min_quality=0.5, watermark="2 hours",
+    )
+    q.awaitTermination(120)
+    got = {r["doc_key"]: r for r in spark.read.parquet(out).collect()}
+    assert set(got) == {"http://m.test/ok", "http://m.test/bad-date"}
+    assert got["http://m.test/bad-date"]["lang_id"] == "en"

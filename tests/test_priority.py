@@ -164,3 +164,38 @@ def test_host_rank_priority_crawl(spark):
         "http://a.test/", "http://c.test/1", "http://c.test/2",
         "http://b.test/1",
     ]
+
+
+def test_bulk_seed_duplicate_priorities_single_fetch(spark):
+    """Round-5 ADVICE regression: the same seed URL arriving with two
+    different priority hints (merged sitemap files are not deduped by
+    sitemap_seeds) must enqueue ONCE, under the max (most-important)
+    hint — not two frontier rows with two seqs, double-fetched and
+    double-counted in budgets."""
+    pages_pdf, robots_pdf, _ = example_site()
+    pages = spark.createDataFrame(pages_pdf, schema=schemas.PAGES)
+    robots = spark.createDataFrame(robots_pdf, schema=schemas.ROBOTS)
+    seeds = spark.createDataFrame(
+        [("http://example.com/about.html", 0.2),
+         ("http://example.com/products.html", 0.4),
+         ("http://example.com/about.html", 0.9)],  # dup URL, higher hint
+        "url string, priority double",
+    )
+    res = Engine(
+        spark, pages, robots,
+        CrawlConfig(max_rounds=12, queue_policy="priority",
+                    host_rates={"example.com": 1}),
+    ).run(seeds)
+    rows = res.fetched_log.orderBy("round").collect()
+    urls = [r["url"] for r in rows]
+    assert len(urls) == len(set(urls))  # the dup seed fetched exactly once
+    # max hint wins: about (0.9) dequeues before products (0.4)
+    assert urls[0] == "http://example.com/about.html"
+    assert urls[1] == "http://example.com/products.html"
+    assert set(urls) == {
+        "http://example.com/",  # discovered via in-site links
+        "http://example.com/about.html",
+        "http://example.com/products.html",
+        "http://example.com/a.html",
+        "http://example.com/b.html",
+    }

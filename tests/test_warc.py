@@ -210,3 +210,33 @@ def test_stream_warc_incremental(spark, tmp_path):
     assert len(got) == 6  # +2 from the new segment only (exactly-once)
     for row in recs:
         assert got[row["url"]] == len(row["html"])
+
+
+def test_write_warc_distributed_null_ts_and_fresh_dir_guard(spark, tmp_path):
+    """Round-5 ADVICE regression: NULL warc_ts rows (the lenient reader
+    emits those for malformed WARC-Date) are written with the epoch
+    sentinel instead of crashing the task; a second write into the same
+    dir refuses (stale parts from a prior run would not be reflected in
+    the new MANIFEST)."""
+    import datetime as dt
+
+    from ant_spark.sources.warc import write_warc_distributed
+
+    rows = [
+        ("http://n.test/ok", dt.datetime(2025, 1, 1), 200, b"<p>ok</p>"),
+        ("http://n.test/bad-date", None, 200, b"<p>bad</p>"),
+    ]
+    df = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, status int, html binary"
+    )
+    out = str(tmp_path / "w")
+    assert write_warc_distributed(df, out) == 2
+    back = {
+        r["url"]: r
+        for r in read_warc(spark, out + "/part-*.warc.gz").collect()
+    }
+    assert back["http://n.test/bad-date"]["warc_ts"] == dt.datetime(1970, 1, 1)
+    assert bytes(back["http://n.test/bad-date"]["html"]) == b"<p>bad</p>"
+    assert back["http://n.test/ok"]["warc_ts"] == dt.datetime(2025, 1, 1)
+    with pytest.raises(ValueError, match="refusing"):
+        write_warc_distributed(df, out)
