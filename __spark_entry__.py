@@ -337,6 +337,36 @@ def _q_cache_revalidate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_cache_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5/C9 composed cache oracle: the fresh / merge / revalidate scenarios
+    in ONE driver-window slot. Each leg is the exact computation of its
+    standalone tail query (`crawl_cache_fresh` / `_merge` / `_revalidate`),
+    tagged and projected to a common (scenario, k, v) shape so all three
+    stay hash-verified inside the driver's 50-query correctness window."""
+    fresh = _q_cache_fresh(spark, sf_dir).select(
+        F.lit("fresh").alias("scenario"),
+        F.col("event_type").alias("k"),
+        F.col("n_fresh").cast("long").alias("v"),
+    )
+    merge = _q_cache_merge(spark, sf_dir).select(
+        F.lit("merge").alias("scenario"),
+        F.col("url").alias("k"),
+        F.col("event_id").cast("long").alias("v"),
+    )
+    reval = _q_cache_revalidate(spark, sf_dir)
+    reval_n = reval.select(
+        F.lit("revalidate_n").alias("scenario"),
+        F.col("decision").alias("k"),
+        F.col("n").cast("long").alias("v"),
+    )
+    reval_sum = reval.select(
+        F.lit("revalidate_id_sum").alias("scenario"),
+        F.col("decision").alias("k"),
+        F.col("id_sum").cast("long").alias("v"),
+    )
+    return fresh.unionByName(merge).unionByName(reval_n).unionByName(reval_sum)
+
+
 def _q_rate_rule_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W3 LimitPattern: per-rule round budget over synthesized URLs."""
     from ant_spark.operators.politeness import rule_budget
@@ -419,6 +449,24 @@ def _q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.groupBy("source").agg(
         F.sum(T.token_count(F.col("text"))).alias("total_tokens"),
         F.round(F.avg(T.token_count(F.col("text"))), 4).alias("avg_tokens"),
+    )
+
+
+def _q_text_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document enrichment: language id, word count, quality score and
+    token count in ONE hash-checked per-row projection — strictly stronger
+    evidence than the three grouped tail variants (`text_language_id`,
+    `text_quality_score`, `text_token_count`) it supersedes inside the
+    driver's 50-query correctness window."""
+    from ant_spark.operators import textops as T
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        T.language_id(F.col("text")).alias("lang_id"),
+        T.n_words(F.col("text")).alias("n_words"),
+        T.quality_score(F.col("text")).alias("quality"),
+        T.token_count(F.col("text")).alias("n_tokens"),
     )
 
 
@@ -918,13 +966,15 @@ def _q_warc_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     read back through the binaryFile → mapInPandas parser; byte counts,
     urls and statuses must match the fixture exactly (VALUES oracle
     computed from the same fixture constants)."""
+    import os
     import tempfile
 
     from ant_spark.sources.warc import read_warc, write_warc
     from ant_spark.sources.webgraph import example_site
 
     pages_pdf, _, _ = example_site()
-    path = tempfile.mktemp(suffix=".warc.gz", prefix="ant_warc_")
+    fd, path = tempfile.mkstemp(suffix=".warc.gz", prefix="ant_warc_")
+    os.close(fd)
     write_warc(pages_pdf.to_dict("records"), path, compress=True)
     return read_warc(spark, path).select("url", "status", "n_bytes")
 
@@ -936,6 +986,7 @@ def _q_sitemap_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle. The seeds feed Engine.run's bulk path with the <priority>
     hints as queue priorities (pytest test_sitemap drives the crawl)."""
     import gzip as _gz
+    import os
     import tempfile
 
     from ant_spark.sources.sitemap import read_sitemap
@@ -950,7 +1001,8 @@ def _q_sitemap_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         b'<priority>bogus</priority></url>\n'
         b'</urlset>\n'
     )
-    path = tempfile.mktemp(suffix=".xml.gz", prefix="ant_sitemap_")
+    fd, path = tempfile.mkstemp(suffix=".xml.gz", prefix="ant_sitemap_")
+    os.close(fd)
     with open(path, "wb") as f:
         f.write(_gz.compress(sm))
     return read_sitemap(spark, path)
@@ -1075,6 +1127,7 @@ def _q_warc_tagsoup(spark: SparkSession, sf_dir: str) -> DataFrame:
     RAWTEXT/plaintext decoy links (never crawled), CDATA-in-svg text,
     RCDATA entity decoding. Deterministic BFS output incl. the extracted
     text pins as a VALUES oracle built from the same fixture constants."""
+    import os
     import tempfile
 
     from ant_spark import schemas  # noqa: F401  (schema parity with test)
@@ -1083,7 +1136,8 @@ def _q_warc_tagsoup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ant_spark.sources.webgraph import example_soup_site
 
     pages_pdf, _, seeds = example_soup_site()
-    path = tempfile.mktemp(suffix=".warc.gz", prefix="ant_soup_")
+    fd, path = tempfile.mkstemp(suffix=".warc.gz", prefix="ant_soup_")
+    os.close(fd)
     write_warc(pages_pdf.to_dict("records"), path, compress=True)
     pages = warc_to_pages(read_warc(spark, path))
     res = Engine(
@@ -1121,8 +1175,17 @@ def _q_media_features_real(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Query registry. ORDER MATTERS: the driver's correctness gate reads
+    only the FIRST 50 entries, so positions 1-50 hold the canonical
+    per-operator oracle set (every SURVEY.md §2 operator hash-verified).
+    Entries after the window marker are redundant variants superseded by a
+    composed in-window query (`crawl_cache_matrix` covers fresh/merge/
+    revalidate; `text_enrich` covers language_id/quality/token_count;
+    LSH/IVF intermediates are pinned through their end-to-end consumers)
+    plus the documented rows-only media stub — all still verified locally
+    by tools/check_oracle.py each round."""
     return {
-        # crawl-engine primitives (SURVEY.md §2)
+        # --- driver window (50): crawl-engine primitives (SURVEY.md §2)
         "crawl_url_normalize": _q_url_normalize,
         "crawl_dedupe_antijoin": _q_dedupe_antijoin,
         "crawl_frontier_fifo": _q_frontier_fifo,
@@ -1133,22 +1196,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_metrics_rollup": _q_metrics_rollup,
         "crawl_union_dedup": _q_union_dedup,
         "crawl_first_occurrence": _q_first_occurrence,
-        "crawl_cache_fresh": _q_cache_fresh,
-        "crawl_cache_merge": _q_cache_merge,
-        "crawl_cache_revalidate": _q_cache_revalidate,
+        "crawl_cache_matrix": _q_cache_matrix,
         "crawl_rate_rule_budget": _q_rate_rule_budget,
         "crawl_rate_rule_multi": _q_rate_rule_multi,
         "events_sessionize": _q_sessionize,
+        # engine e2e + sources (the round-5 set the driver must cover)
+        "crawl_e2e_visited": _q_crawl_e2e,
+        "crawl_render_visited": _q_crawl_render,
+        "crawl_priority_order": _q_crawl_priority,
+        "crawl_warc_source": _q_warc_source,
+        "crawl_warc_tagsoup": _q_warc_tagsoup,
+        "crawl_anchor_text": _q_anchor_text,
+        "crawl_sitemap_seeds": _q_sitemap_source,
+        "crawl_robots_ttl": _q_robots_ttl,
+        "crawl_to_training": _q_crawl_to_training,
+        "media_features_real": _q_media_features_real,
+        "media_frame_plan": _q_media_frame_plan,
         # training-data text ops
-        "text_language_id": _q_language_id,
-        "text_quality_score": _q_quality,
-        "text_token_count": _q_token_count,
+        "text_enrich": _q_text_enrich,
         "text_fingerprint_dups": _q_fingerprint_dups,
-        "text_minhash_sig": _q_minhash_sig,
         "text_jaccard_pairs": _q_jaccard_pairs,
-        "text_simhash": _q_simhash,
         "text_simhash_near_dup": _q_simhash_pairs,
-        "text_winnow_fingerprints": _q_winnow,
         "text_duplicate_spans": _q_duplicate_spans,
         "text_top_idf_terms": _q_top_idf_terms,
         "text_incremental_new": _q_incremental_new,
@@ -1156,7 +1224,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_content_flags": _q_content_flags,
         "text_repetition": _q_repetition,
         "text_minhash_lsh_pairs": _q_minhash_lsh_pairs,
-        "text_curation_pipeline": _q_curation,
         "text_curation_full": _q_curation_full,
         "text_curation_components": _q_curation_components,
         "text_sample_mix": _q_sample_mix,
@@ -1168,25 +1235,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_degrees": _q_graph_degrees,
         # similarity search
         "emb_cosine_topk": _q_cosine_topk,
-        "emb_lsh_bucket": _q_lsh_bucket,
         "emb_near_dup": _q_emb_near_dup,
         "emb_lsh_topk_tables": _q_lsh_topk_tables,
-        "emb_ivf_assign": _q_ivf_assign,
         "emb_ivf_topk": _q_ivf_topk,
         "emb_ivf_topk_trained": _q_ivf_topk_trained,
-        "media_frame_plan": _q_media_frame_plan,
-        # non-SQL (rows-only)
-        "crawl_e2e_visited": _q_crawl_e2e,
-        "crawl_render_visited": _q_crawl_render,
-        "crawl_priority_order": _q_crawl_priority,
-        "crawl_warc_source": _q_warc_source,
-        "crawl_warc_tagsoup": _q_warc_tagsoup,
-        "crawl_anchor_text": _q_anchor_text,
-        "crawl_sitemap_seeds": _q_sitemap_source,
-        "crawl_robots_ttl": _q_robots_ttl,
-        "crawl_to_training": _q_crawl_to_training,
+        # --- end of driver window (50) ---------------------------------
+        # tail: superseded variants (still check_oracle-verified locally)
+        "crawl_cache_fresh": _q_cache_fresh,
+        "crawl_cache_merge": _q_cache_merge,
+        "crawl_cache_revalidate": _q_cache_revalidate,
+        "text_language_id": _q_language_id,
+        "text_quality_score": _q_quality,
+        "text_token_count": _q_token_count,
+        "text_minhash_sig": _q_minhash_sig,
+        "text_simhash": _q_simhash,
+        "text_winnow_fingerprints": _q_winnow,
+        "text_curation_pipeline": _q_curation,
+        "emb_lsh_bucket": _q_lsh_bucket,
+        "emb_ivf_assign": _q_ivf_assign,
         "media_features_stub": _q_media_features,
-        "media_features_real": _q_media_features_real,
     }
 
 
@@ -1402,7 +1469,7 @@ def oracle_sql() -> dict[str, str]:
         f"WHEN {c} = {tbest} THEN {i}" for i, c in enumerate(tcos_cents)
     ) + " END"
 
-    return {
+    d = {
         "crawl_url_normalize": f"""
             WITH raw AS (
               SELECT doc_id,
@@ -2455,3 +2522,29 @@ def oracle_sql() -> dict[str, str]:
             ) AS t(media_id, kind, n_bytes, feature)
         """,
     }
+    # composed window queries: each leg reuses the standalone oracle SQL
+    # verbatim (one source of truth — a fix to a leg fixes both entries)
+    d["crawl_cache_matrix"] = f"""
+        WITH fresh AS ({d["crawl_cache_fresh"]}),
+             mrg AS ({d["crawl_cache_merge"]}),
+             reval AS ({d["crawl_cache_revalidate"]})
+        SELECT 'fresh' AS scenario, event_type AS k, n_fresh::BIGINT AS v
+        FROM fresh
+        UNION ALL
+        SELECT 'merge' AS scenario, url AS k, event_id::BIGINT AS v FROM mrg
+        UNION ALL
+        SELECT 'revalidate_n' AS scenario, decision AS k, n::BIGINT AS v
+        FROM reval
+        UNION ALL
+        SELECT 'revalidate_id_sum' AS scenario, decision AS k,
+               id_sum::BIGINT AS v
+        FROM reval
+    """
+    d["text_enrich"] = f"""
+        SELECT doc_id, {_lang_score_sql()} AS lang_id,
+               len({_WORDS_SQL})::INT AS n_words,
+               {_quality_sql()} AS quality,
+               {_TOKEN_SQL}::INT AS n_tokens
+        FROM documents
+    """
+    return d
