@@ -20,13 +20,15 @@ noframes/noscript/plaintext — tags inside are text, never links), RCDATA
 character-reference decoding (title/textarea), table foster parenting
 (non-table content moves before the table, reordering text/links like
 x/net/html does), CDATA sections as text in svg/math foreign content, and
-implied-end-tag handling for ``p``/``li``/table structure. It is NOT a full
-HTML5 parser — known residual gaps vs x/net/html, all rare on real pages:
-the adoption agency algorithm re-parents misnested formatting elements
-(text/link ORDER is unaffected, so extraction output matches), a stray
-``</plaintext>`` resumes parsing where the spec stays in PLAINTEXT to EOF,
-and implied tbody/tr synthesis inside tables is skipped (affects selector
-paths, not extraction). The synthetic corpus generator
+implied-end-tag handling for ``p``/``li``/table structure, the active
+formatting elements list with full reconstruction + the adoption agency
+algorithm (misnested ``<b><i></b></i>`` re-parents exactly as x/net/html
+does, implicitly-closed formatting re-opens before later content — re-run
+``<a href>`` clones re-emit their link), and implied tbody/tr synthesis
+(``<table><td>`` yields the table>tbody>tr>td selector path). It is NOT a
+full HTML5 parser — the one known residual gap vs x/net/html, rare on real
+pages: a stray ``</plaintext>`` resumes parsing where the spec stays in
+PLAINTEXT to EOF. The synthetic corpus generator
 (ant_spark.sources.webgraph) emits HTML inside this subset; golden tests pin
 the fixture pages' extracted text, and a tag-soup differential fuzz pins
 stream/DOM agreement over the widened alphabet.
@@ -74,6 +76,40 @@ RCDATA_ELEMENTS = frozenset(("title", "textarea"))
 # element is inserted BEFORE the nearest open table — x/net/html reorders
 # the tree (and thus scan.Text/Page.URLs order) accordingly.
 TABLE_SCOPE = frozenset("table tbody thead tfoot tr".split())
+# HTML5 "formatting" category — tracked on the list of active formatting
+# elements; misnested end tags run the adoption agency algorithm and
+# implicitly-closed entries re-open (clone) before later content, exactly
+# as x/net/html re-parents them.
+FORMATTING_ELEMENTS = frozenset(
+    "a b big code em font i nobr s small strike strong tt u".split()
+)
+# afe scope markers (spec also lists applet/object/marquee/template; the
+# crawl subset needs the table-cell boundaries that stop formatting leaks)
+_AFE_MARKER_TAGS = frozenset(("td", "th", "caption"))
+_AFE_MARKER = object()  # sentinel entry in the active formatting list
+# WHATWG "special" category (HTML namespace) — the furthest-block test in
+# the adoption agency algorithm; ordinary phrasing elements (span, ruby,
+# unknown tags) are NOT special and never act as a furthest block.
+_SPECIAL_ELEMENTS = frozenset(
+    "address applet area article aside base basefont bgsound blockquote "
+    "body br button caption center col colgroup dd details dir div dl dt "
+    "embed fieldset figcaption figure footer form frame frameset h1 h2 h3 "
+    "h4 h5 h6 head header hgroup hr html iframe img input li link listing "
+    "main marquee menu meta nav noembed noframes noscript object ol p "
+    "param plaintext pre script section select source style summary table "
+    "tbody td template textarea tfoot th thead title tr track ul wbr "
+    "xmp".split()
+)
+# Start tags that do NOT reconstruct active formatting elements before
+# insertion (the WHATWG in-body block/structural set; everything else —
+# phrasing content, voids like <br>/<img>, unknown tags — reconstructs).
+_NO_RECONSTRUCT = (
+    P_CLOSERS
+    | frozenset("li dd dt".split())
+    | frozenset("caption col colgroup tbody td tfoot th thead tr".split())
+    | (RAWTEXT_ELEMENTS - frozenset(("xmp",)))
+    | HEAD_ELEMENTS
+)
 TABLE_ALLOWED = frozenset(
     "caption colgroup col thead tbody tfoot tr td th script style template "
     "form".split()
@@ -151,6 +187,8 @@ class _DomParser(HTMLParser):
         self._head: Node | None = None
         self._body: Node | None = None
         self._mode = "initial"  # initial → before_body → in_body
+        # list of active formatting elements: Node refs + scope markers
+        self._afe: list = []
 
     # -- structure helpers -------------------------------------------------
     def _ensure_html(self) -> Node:
@@ -181,6 +219,144 @@ class _DomParser(HTMLParser):
         if self._mode == "in_body" and self._body is not None:
             return self._body
         return self.document
+
+    # -- active formatting elements (WHATWG list + adoption agency) --------
+    def _afe_push(self, node: Node) -> None:
+        """Push with the Noah's Ark clause: at most 3 entries with the same
+        tag+attrs since the last marker (the EARLIEST such entry drops)."""
+        same = []
+        for e in reversed(self._afe):
+            if e is _AFE_MARKER:
+                break
+            if e.tag == node.tag and e.attrs == node.attrs:
+                same.append(e)
+        if len(same) >= 3:
+            self._afe.remove(same[-1])
+        self._afe.append(node)
+
+    def _afe_clear_to_marker(self) -> None:
+        while self._afe:
+            if self._afe.pop() is _AFE_MARKER:
+                return
+
+    def _afe_find(self, tag: str) -> Node | None:
+        """Last afe entry with this tag, not crossing a scope marker."""
+        for e in reversed(self._afe):
+            if e is _AFE_MARKER:
+                return None
+            if e.tag == tag:
+                return e
+        return None
+
+    def _insert_element(self, node: Node, parent: Node) -> None:
+        """Insert honoring table foster parenting (the one rule that moves
+        content) — shared by normal insertion, reconstruction and AAA."""
+        if (
+            parent.type == ELEMENT
+            and parent.tag in TABLE_SCOPE
+            and node.tag not in TABLE_ALLOWED
+        ):
+            self._foster_insert(node, parent)
+        else:
+            parent.append(node)
+
+    def _reconstruct_afe(self) -> None:
+        """Re-open (clone) formatting elements that were implicitly closed
+        — WHATWG 'reconstruct the active formatting elements'."""
+        afe = self._afe
+        if not afe:
+            return
+        last = afe[-1]
+        if last is _AFE_MARKER or last in self._stack:
+            return
+        i = len(afe) - 1
+        while i > 0:
+            e = afe[i - 1]
+            if e is _AFE_MARKER or e in self._stack:
+                break
+            i -= 1
+        for j in range(i, len(afe)):
+            entry = afe[j]
+            clone = Node(ELEMENT, entry.tag, list(entry.attrs))
+            self._insert_element(clone, self._current())
+            self._stack.append(clone)
+            afe[j] = clone
+
+    def _adoption(self, subject: str) -> None:
+        """The adoption agency algorithm (WHATWG tree construction; the
+        x/net/html behavior for misnested formatting end tags): re-parents
+        <b><i></b></i> style misnesting and splits formatting around blocks
+        (<b>x<div>y</b>z → b>x, div>(b>y, z))."""
+        stack, afe = self._stack, self._afe
+        for _ in range(8):  # outer loop
+            if stack and stack[-1].tag == subject and stack[-1] not in afe:
+                stack.pop()
+                return
+            fe = self._afe_find(subject)
+            if fe is None:
+                # any-other-end-tag: pop to the nearest matching element
+                for i in range(len(stack) - 1, -1, -1):
+                    if stack[i].tag == subject:
+                        del stack[i:]
+                        return
+                return
+            if fe not in stack:
+                afe.remove(fe)
+                return
+            fe_idx = stack.index(fe)
+            fb = None  # furthest block: first special element below fe
+            fb_idx = -1
+            for i in range(fe_idx + 1, len(stack)):
+                if stack[i].tag in _SPECIAL_ELEMENTS:
+                    fb, fb_idx = stack[i], i
+                    break
+            if fb is None:
+                del stack[fe_idx:]
+                afe.remove(fe)
+                return
+            common = stack[fe_idx - 1] if fe_idx > 0 else self._ensure_body()
+            bookmark = afe.index(fe)
+            node = last_node = fb
+            idx = fb_idx
+            inner = 0
+            while True:  # inner loop
+                inner += 1
+                idx -= 1
+                node = stack[idx]
+                if node is fe:
+                    break
+                if inner > 3 and node in afe:
+                    afe.remove(node)
+                if node not in afe:
+                    del stack[idx]
+                    continue
+                clone = Node(ELEMENT, node.tag, list(node.attrs))
+                afe[afe.index(node)] = clone
+                stack[idx] = clone
+                node = clone
+                if last_node is fb:
+                    bookmark = afe.index(clone) + 1
+                if last_node.parent is not None:
+                    last_node.parent.children.remove(last_node)
+                node.append(last_node)
+                last_node = node
+            if last_node.parent is not None:
+                last_node.parent.children.remove(last_node)
+                last_node.parent = None
+            self._insert_element(last_node, common)
+            clone = Node(ELEMENT, fe.tag, list(fe.attrs))
+            for c in fb.children:
+                c.parent = clone
+            clone.children = fb.children
+            fb.children = []
+            fb.append(clone)
+            old = afe.index(fe)
+            if old < bookmark:
+                bookmark -= 1
+            afe.remove(fe)
+            afe.insert(bookmark, clone)
+            stack.remove(fe)
+            stack.insert(stack.index(fb) + 1, clone)
 
     # -- HTMLParser callbacks ----------------------------------------------
     def handle_decl(self, decl):
@@ -218,17 +394,47 @@ class _DomParser(HTMLParser):
         else:
             parent = self._implied_end(tag)
 
+        in_head = parent is self._head
+        if tag == "a" and self._afe_find("a") is not None:
+            # WHATWG <a>-in-<a>: adoption agency closes the open one, any
+            # survivor drops from both lists before the new <a> inserts.
+            self._adoption("a")
+            prev = self._afe_find("a")
+            if prev is not None:
+                self._afe.remove(prev)
+                if prev in self._stack:
+                    self._stack.remove(prev)
+            parent = self._current()
+        if not in_head and tag not in _NO_RECONSTRUCT:
+            self._reconstruct_afe()
+            parent = self._current()
+        # implied tbody/tr synthesis ("in table"/"in table body" modes):
+        # <table><tr> gets a tbody, <table><td> gets tbody+tr — x/net/html
+        # selector paths (table > tbody > tr > td) hold on sloppy tables.
+        if parent.type == ELEMENT:
+            if tag == "tr" and parent.tag == "table":
+                parent = self._synth_open(parent, "tbody")
+            elif tag in ("td", "th"):
+                if parent.tag == "table":
+                    parent = self._synth_open(parent, "tbody")
+                if parent.tag in ("tbody", "thead", "tfoot"):
+                    parent = self._synth_open(parent, "tr")
+
         node = Node(ELEMENT, tag, list(attrs))
-        if (
-            parent.type == ELEMENT
-            and parent.tag in TABLE_SCOPE
-            and tag not in TABLE_ALLOWED
-        ):
-            self._foster_insert(node, parent)
-        else:
-            parent.append(node)
+        self._insert_element(node, parent)
         if tag not in VOID_ELEMENTS:
             self._stack.append(node)
+        if tag in FORMATTING_ELEMENTS:
+            self._afe_push(node)
+        elif tag in _AFE_MARKER_TAGS:
+            self._afe.append(_AFE_MARKER)
+
+    def _synth_open(self, parent: Node, tag: str) -> Node:
+        """Synthesize an implied table-section element and open it."""
+        n = Node(ELEMENT, tag)
+        parent.append(n)
+        self._stack.append(n)
+        return n
 
     def _foster_insert(self, node: Node, fallback: Node) -> None:
         """HTML5 foster parenting: insert ``node`` immediately before the
@@ -237,6 +443,14 @@ class _DomParser(HTMLParser):
         for i in range(len(self._stack) - 1, -1, -1):
             t = self._stack[i]
             if t.tag == "table" and t.parent is not None:
+                # degenerate-soup cycle guard: never insert a node before
+                # a table inside the node's own subtree (AAA re-parenting
+                # can foster a block whose descendants include the table)
+                anc = t.parent
+                while anc is not None and anc is not node:
+                    anc = anc.parent
+                if anc is node:
+                    continue
                 parent = t.parent
                 node.parent = parent
                 parent.children.insert(parent.children.index(t), node)
@@ -257,6 +471,7 @@ class _DomParser(HTMLParser):
             self._stack.pop()
         elif cur.tag in ("td", "th") and incoming in ("td", "th", "tr"):
             self._stack.pop()
+            self._afe_clear_to_marker()
             if self._stack and self._stack[-1].tag == "tr" and incoming == "tr":
                 self._stack.pop()
         elif cur.tag == "tr" and incoming == "tr":
@@ -289,25 +504,30 @@ class _DomParser(HTMLParser):
                 parent = self._ensure_body()
         else:
             parent = self._current()
+        if parent is not self._head and tag not in _NO_RECONSTRUCT:
+            self._reconstruct_afe()
+            parent = self._current()
         node = Node(ELEMENT, tag, list(attrs))
-        if (
-            parent.type == ELEMENT
-            and parent.tag in TABLE_SCOPE
-            and tag not in TABLE_ALLOWED
-        ):
-            self._foster_insert(node, parent)
-        else:
-            parent.append(node)
+        self._insert_element(node, parent)
 
     def handle_endtag(self, tag):
         if tag in ("html", "head", "body"):
             if tag == "head" and self._body is None and not self._stack:
                 self._mode = "before_body"  # in body: stray </head> ignored
             return
+        if tag in FORMATTING_ELEMENTS:
+            self._adoption(tag)
+            return
         # Pop to the nearest matching open element (ignore stray end tags).
+        # Implicitly-closed formatting elements stay in the afe and re-open
+        # on the next insertion; closed cells clear the afe to their marker.
         for i in range(len(self._stack) - 1, -1, -1):
             if self._stack[i].tag == tag:
+                swept = self._stack[i:]
                 del self._stack[i:]
+                for n in swept:
+                    if n.tag in _AFE_MARKER_TAGS:
+                        self._afe_clear_to_marker()
                 return
 
     def handle_data(self, data):
@@ -315,10 +535,19 @@ class _DomParser(HTMLParser):
             return
         if self._stack:
             cur = self._stack[-1]
-            if cur.tag in RCDATA_ELEMENTS:
-                # RCDATA decodes character references (RAWTEXT keeps them
-                # raw — html.parser's cdata mode skips convert_charrefs)
-                data = _unescape(data)
+            if cur.tag in RAWTEXT_ELEMENTS:
+                # raw-text content never reconstructs formatting; RCDATA
+                # decodes character references (RAWTEXT keeps them raw —
+                # html.parser's cdata mode skips convert_charrefs)
+                if cur.tag in RCDATA_ELEMENTS:
+                    data = _unescape(data)
+                cur.append(Node(TEXT, data=data))
+                return
+            if not (cur.tag in TABLE_SCOPE and not data.strip()):
+                # in-body character tokens reconstruct active formatting
+                # (whitespace inside table context is the spec exception)
+                self._reconstruct_afe()
+                cur = self._stack[-1]
             if cur.tag in TABLE_SCOPE and data.strip():
                 # non-whitespace text in table context foster-parents
                 node = Node(TEXT, data=data)
@@ -330,7 +559,10 @@ class _DomParser(HTMLParser):
         # "before head"/"before body" modes); other text forces a body.
         if self._mode != "in_body" and data.strip() == "":
             return
-        self._ensure_body().append(Node(TEXT, data=data))
+        body = self._ensure_body()
+        self._reconstruct_afe()
+        cur = self._stack[-1] if self._stack else body
+        cur.append(Node(TEXT, data=data))
 
     def unknown_decl(self, decl):
         # <![CDATA[...]]> is TEXT in foreign content (svg/math) and a bogus
@@ -503,6 +735,20 @@ def compile_selector(source: str) -> Selector:
     return Selector(source)
 
 
+class _SEntry:
+    """Open-element entry for the stream extractor. Identity semantics (no
+    __eq__) — the active-formatting bookkeeping must tell equal-looking
+    clones apart, exactly like DOM Node identity."""
+
+    __slots__ = ("tag", "sink", "outer", "attrs")
+
+    def __init__(self, tag, sink, outer=None, attrs=()):
+        self.tag = tag
+        self.sink = sink  # (text_parts, hrefs) this element emits into
+        self.outer = outer  # for <table>: enclosing sink to flush into
+        self.attrs = attrs  # list[(k, v)] — clones re-emit a[href]
+
+
 class _StreamExtractor(HTMLParser):
     """DOM-less single-pass extractor for the parse-UDF hot path.
 
@@ -515,9 +761,12 @@ class _StreamExtractor(HTMLParser):
     sink immediately — reproducing the DOM's pre-order exactly. The
     _DomParser *inclusion* rule is mirrored too: a data chunk is kept iff
     the element stack is non-empty (html/head/body are never pushed there)
-    OR the body has been implicitly/explicitly opened. Parity with the DOM
-    path is pinned by tests over the full synthetic corpus + fixtures and
-    the tag-soup differential fuzz.
+    OR the body has been implicitly/explicitly opened. The active
+    formatting list + adoption agency are mirrored as bookkeeping: clones
+    of re-opened <a> elements re-emit their href at the position the DOM
+    clone occupies in pre-order. Parity with the DOM path is pinned by
+    tests over the full synthetic corpus + fixtures and the tag-soup
+    differential fuzz.
     """
 
     CDATA_CONTENT_ELEMENTS = _DomParser.CDATA_CONTENT_ELEMENTS
@@ -528,31 +777,195 @@ class _StreamExtractor(HTMLParser):
         self.hrefs: list[str] = []
         self.title: str | None = None
         self._base = (self.text_parts, self.hrefs)
-        # mirrors _DomParser._stack: (tag, content_sink, table_outer_sink)
-        self._stack: list[tuple] = []
+        self._stack: list[_SEntry] = []
+        self._afe: list = []  # _SEntry refs + _AFE_MARKER (mirrors DOM)
         self._in_body = False  # mirrors _mode == "in_body"
         self._title_open = False
         self._title_parts: list[str] = []
 
-    # -- sink plumbing ----------------------------------------------------
-    def _current_sink(self) -> tuple:
-        return self._stack[-1][1] if self._stack else self._base
+    # -- sink plumbing ------------------------------------------------
+    def _current_sink(self):
+        return self._stack[-1].sink if self._stack else self._base
 
-    def _foster_sink(self) -> tuple:
+    def _foster_sink(self):
         """Sink of the nearest open table's OUTER context (where fostered
         content lands — immediately before the table in DOM order)."""
         for i in range(len(self._stack) - 1, -1, -1):
-            if self._stack[i][0] == "table":
-                return self._stack[i][2]
+            if self._stack[i].tag == "table":
+                return self._stack[i].outer
         return self._current_sink()
 
-    def _pop_one(self) -> tuple:
-        tag, sink, outer = self._stack.pop()
-        if tag == "table" and outer is not None:
-            outer[0].extend(sink[0])  # table internals flush AFTER the
-            outer[1].extend(sink[1])  # fostered/pre-table content
-        return tag, sink, outer
+    def _insert_sink(self, tag):
+        """Insertion sink honoring foster parenting — the stream analogue
+        of _DomParser._insert_element's parent choice."""
+        if (
+            self._stack
+            and self._stack[-1].tag in TABLE_SCOPE
+            and tag not in TABLE_ALLOWED
+        ):
+            return self._foster_sink()
+        return self._current_sink()
 
+    def _pop_one(self) -> "_SEntry":
+        e = self._stack.pop()
+        if e.tag == "table" and e.outer is not None:
+            e.outer[0].extend(e.sink[0])  # table internals flush AFTER the
+            e.outer[1].extend(e.sink[1])  # fostered/pre-table content
+        return e
+
+    def _emit_href(self, attrs, sink):
+        for k, v in attrs:
+            if k == "href":
+                sink[1].append(v if v is not None else "")
+                break
+
+    # -- active formatting elements (mirrors _DomParser) ----------------
+    def _on_stack(self, e) -> bool:
+        return any(s is e for s in self._stack)
+
+    def _stack_index(self, e) -> int:
+        for i, s in enumerate(self._stack):
+            if s is e:
+                return i
+        return -1
+
+    def _afe_index(self, e) -> int:
+        for i, s in enumerate(self._afe):
+            if s is e:
+                return i
+        return -1
+
+    def _afe_find(self, tag):
+        for e in reversed(self._afe):
+            if e is _AFE_MARKER:
+                return None
+            if e.tag == tag:
+                return e
+        return None
+
+    def _afe_push(self, entry) -> None:
+        same = []
+        for e in reversed(self._afe):
+            if e is _AFE_MARKER:
+                break
+            if e.tag == entry.tag and e.attrs == entry.attrs:
+                same.append(e)
+        if len(same) >= 3:  # Noah's Ark clause
+            del self._afe[self._afe_index(same[-1])]
+        self._afe.append(entry)
+
+    def _afe_clear_to_marker(self) -> None:
+        while self._afe:
+            if self._afe.pop() is _AFE_MARKER:
+                return
+
+    def _reconstruct_afe(self) -> None:
+        afe = self._afe
+        if not afe:
+            return
+        last = afe[-1]
+        if last is _AFE_MARKER or self._on_stack(last):
+            return
+        i = len(afe) - 1
+        while i > 0:
+            e = afe[i - 1]
+            if e is _AFE_MARKER or self._on_stack(e):
+                break
+            i -= 1
+        for j in range(i, len(afe)):
+            entry = afe[j]
+            ins = self._insert_sink(entry.tag)
+            clone = _SEntry(entry.tag, ins, None, entry.attrs)
+            if entry.tag == "a":
+                self._emit_href(entry.attrs, ins)  # clone re-emits link
+            self._stack.append(clone)
+            afe[j] = clone
+
+    def _adoption(self, subject: str) -> None:
+        """Bookkeeping mirror of _DomParser._adoption: no tree exists, so
+        re-parenting reduces to stack/afe fixups plus href re-emission for
+        cloned <a> entries (chronological emission = DOM pre-order for the
+        clone positions — pinned by the differential fuzz)."""
+        stack, afe = self._stack, self._afe
+        for _ in range(8):
+            if (
+                stack
+                and stack[-1].tag == subject
+                and self._afe_index(stack[-1]) == -1
+            ):
+                self._pop_one()
+                return
+            fe = self._afe_find(subject)
+            if fe is None:
+                for i in range(len(stack) - 1, -1, -1):
+                    if stack[i].tag == subject:
+                        while len(stack) > i:
+                            self._pop_one()
+                        return
+                return
+            fe_idx = self._stack_index(fe)
+            if fe_idx < 0:
+                del afe[self._afe_index(fe)]
+                return
+            fb = None  # furthest block
+            fb_idx = -1
+            for i in range(fe_idx + 1, len(stack)):
+                if stack[i].tag in _SPECIAL_ELEMENTS:
+                    fb, fb_idx = stack[i], i
+                    break
+            if fb is None:
+                while len(stack) > fe_idx:
+                    self._pop_one()
+                del afe[self._afe_index(fe)]
+                return
+            # insertion sink for the re-parented chain (DOM: into common,
+            # foster-aware). fb keeps its own sink — already-emitted text
+            # never moves; only the new clones need one.
+            if fe_idx > 0:
+                ce = stack[fe_idx - 1]
+                if ce.tag in TABLE_SCOPE and fb.tag not in TABLE_ALLOWED:
+                    ins = self._foster_sink()
+                else:
+                    ins = ce.sink
+            else:
+                ins = self._base
+            bookmark = self._afe_index(fe)
+            last_node = fb
+            idx = fb_idx
+            inner = 0
+            while True:  # inner loop
+                inner += 1
+                idx -= 1
+                node = stack[idx]
+                if node is fe:
+                    break
+                ai = self._afe_index(node)
+                if inner > 3 and ai != -1:
+                    del afe[ai]
+                    ai = -1
+                if ai == -1:
+                    del stack[idx]  # between fe and fb: formatting only,
+                    continue  # never a table — no flush needed
+                clone = _SEntry(node.tag, ins, None, node.attrs)
+                if node.tag == "a":
+                    self._emit_href(node.attrs, ins)
+                afe[ai] = clone
+                stack[idx] = clone
+                if last_node is fb:
+                    bookmark = self._afe_index(clone) + 1
+                last_node = clone
+            clone = _SEntry(fe.tag, fb.sink, None, fe.attrs)
+            if fe.tag == "a":
+                self._emit_href(fe.attrs, fb.sink)  # step-k clone in fb
+            old = self._afe_index(fe)
+            if old < bookmark:
+                bookmark -= 1
+            del afe[old]
+            afe.insert(bookmark, clone)
+            del stack[self._stack_index(fe)]
+            stack.insert(self._stack_index(fb) + 1, clone)
+
+    # -- open/close --------------------------------------------------
     def _open(self, tag, attrs, push: bool):
         if tag == "html":
             return
@@ -571,25 +984,42 @@ class _StreamExtractor(HTMLParser):
             self._title_parts = []
         if push:
             self._implied_end(tag)  # void starts (e.g. <hr>) imply ends too
-        # insertion sink AFTER implied-end pops, fostered out of table scope
-        if (
-            self._stack
-            and self._stack[-1][0] in TABLE_SCOPE
-            and tag not in TABLE_ALLOWED
-        ):
-            ins = self._foster_sink()
-        else:
-            ins = self._current_sink()
+            if tag == "a" and self._afe_find("a") is not None:
+                # <a>-in-<a>: adoption closes the open one, survivor drops
+                self._adoption("a")
+                prev = self._afe_find("a")
+                if prev is not None:
+                    del self._afe[self._afe_index(prev)]
+                    si = self._stack_index(prev)
+                    if si != -1:
+                        del self._stack[si]
+        if tag not in _NO_RECONSTRUCT:
+            self._reconstruct_afe()
+        if push:
+            # implied tbody/tr synthesis (mirrors the DOM start-tag path)
+            top = self._stack[-1].tag if self._stack else None
+            if tag == "tr" and top == "table":
+                self._stack.append(_SEntry("tbody", self._current_sink()))
+            elif tag in ("td", "th"):
+                if top == "table":
+                    self._stack.append(_SEntry("tbody", self._current_sink()))
+                    top = "tbody"
+                if top in ("tbody", "thead", "tfoot"):
+                    self._stack.append(_SEntry("tr", self._current_sink()))
+        # insertion sink AFTER implied-end/reconstruct/synthesis
+        ins = self._insert_sink(tag)
         if tag == "a":
-            for k, v in attrs:
-                if k == "href":
-                    ins[1].append(v if v is not None else "")
-                    break
+            self._emit_href(attrs, ins)
         if push and tag not in VOID_ELEMENTS:
             if tag == "table":
-                self._stack.append((tag, ([], []), ins))
+                entry = _SEntry(tag, ([], []), ins)
             else:
-                self._stack.append((tag, ins, None))
+                entry = _SEntry(tag, ins, None, list(attrs))
+            self._stack.append(entry)
+            if tag in FORMATTING_ELEMENTS:
+                self._afe_push(entry)
+            elif tag in _AFE_MARKER_TAGS:
+                self._afe.append(_AFE_MARKER)
 
     def _implied_end(self, incoming: str) -> None:
         """Mirror _DomParser._implied_end stack pops (affects emptiness)."""
@@ -597,7 +1027,7 @@ class _StreamExtractor(HTMLParser):
         s = self._stack
         if not s:
             return
-        cur = s[-1][0]
+        cur = s[-1].tag
         if cur == "p" and incoming in P_CLOSERS:
             self._pop_one()
         elif cur == "li" and incoming == "li":
@@ -606,7 +1036,8 @@ class _StreamExtractor(HTMLParser):
             self._pop_one()
         elif cur in ("td", "th") and incoming in ("td", "th", "tr"):
             self._pop_one()
-            if s and s[-1][0] == "tr" and incoming == "tr":
+            self._afe_clear_to_marker()
+            if s and s[-1].tag == "tr" and incoming == "tr":
                 self._pop_one()
         elif cur == "tr" and incoming == "tr":
             self._pop_one()
@@ -618,9 +1049,9 @@ class _StreamExtractor(HTMLParser):
         table tags)."""
         if incoming not in _TABLE_STRUCTURAL:
             return
-        if not any(e[0] == "table" for e in self._stack):
+        if not any(e.tag == "table" for e in self._stack):
             return
-        while self._stack and self._stack[-1][0] not in _TABLE_BOUNDARY:
+        while self._stack and self._stack[-1].tag not in _TABLE_BOUNDARY:
             self._pop_one()
 
     def handle_starttag(self, tag, attrs):
@@ -634,7 +1065,7 @@ class _StreamExtractor(HTMLParser):
         if (
             tag == "title"
             and self._title_open
-            and not any(e[0] == "title" for e in self._stack)
+            and not any(e.tag == "title" for e in self._stack)
         ):
             self.title = ""
             self._title_open = False
@@ -647,19 +1078,25 @@ class _StreamExtractor(HTMLParser):
                 self._in_body = False  # mirror _DomParser: only honored
                 # before any body content (stray in-body </head> ignored)
             return
+        if tag in FORMATTING_ELEMENTS:
+            self._adoption(tag)
+            return
         # pop to nearest match, like _DomParser.handle_endtag; the capture
         # closes only when NO title element remains open afterwards — a
         # nested </title> (or a sweep that leaves an outer title) must keep
         # capturing, because the DOM's first-title text spans the outer node
         for i in range(len(self._stack) - 1, -1, -1):
-            if self._stack[i][0] == tag:
-                swept = [e[0] for e in self._stack[i:]]
+            if self._stack[i].tag == tag:
+                swept = [e.tag for e in self._stack[i:]]
                 while len(self._stack) > i:  # innermost-first: nested
                     self._pop_one()  # tables flush into their outers
+                for t in swept:
+                    if t in _AFE_MARKER_TAGS:
+                        self._afe_clear_to_marker()
                 if (
                     self._title_open
                     and "title" in swept
-                    and not any(e[0] == "title" for e in self._stack)
+                    and not any(e.tag == "title" for e in self._stack)
                 ):
                     self.title = "".join(self._title_parts)
                     self._title_open = False
@@ -668,18 +1105,27 @@ class _StreamExtractor(HTMLParser):
     def handle_data(self, data):
         if not data:
             return
-        if not self._stack and not self._in_body and data.strip() == "":
-            return  # dropped by _DomParser.handle_data's top-level rule
         if not self._stack and not self._in_body:
+            if data.strip() == "":
+                return  # dropped by _DomParser.handle_data's top-level rule
             self._in_body = True  # non-ws top-level text forces a body
-        if self._stack:
-            cur = self._stack[-1][0]
-            if cur in RCDATA_ELEMENTS:
+        if self._stack and self._stack[-1].tag in RAWTEXT_ELEMENTS:
+            cur = self._stack[-1]
+            if cur.tag in RCDATA_ELEMENTS:
                 data = _unescape(data)  # mirror _DomParser RCDATA decode
-            if cur in TABLE_SCOPE and data.strip():
-                sink = self._foster_sink()  # foster-parented text
-            else:
-                sink = self._stack[-1][1]
+            cur.sink[0].append(data)
+            if self._title_open:
+                self._title_parts.append(data)
+            return
+        cur_tag = self._stack[-1].tag if self._stack else None
+        if not (cur_tag in TABLE_SCOPE and not data.strip()):
+            # in-body character tokens reconstruct active formatting
+            self._reconstruct_afe()
+            cur_tag = self._stack[-1].tag if self._stack else None
+        if cur_tag in TABLE_SCOPE and data.strip():
+            sink = self._foster_sink()  # foster-parented text
+        elif self._stack:
+            sink = self._stack[-1].sink
         else:
             sink = self._base
         sink[0].append(data)
@@ -690,7 +1136,7 @@ class _StreamExtractor(HTMLParser):
         # CDATA section: text in foreign content, ignored elsewhere
         # (mirror _DomParser.unknown_decl; comments contribute nothing)
         if decl.startswith("CDATA[") and any(
-            e[0] in ("svg", "math") for e in self._stack
+            e.tag in ("svg", "math") for e in self._stack
         ):
             self._current_sink()[0].append(decl[6:])
 

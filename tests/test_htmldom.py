@@ -184,3 +184,60 @@ def test_extract_anchors_semantics():
         ("http://other.test/y", " spaced "),
         ("http://h.test/empty", ""),
     ]
+
+
+def test_adoption_agency_misnested_formatting():
+    """Misnested <b><i></b></i> re-parents exactly as x/net/html: the <i>
+    splits at the </b>, the trailing run gets its own <i> clone — selector
+    ancestor paths now match the reference parser (C6 parity)."""
+    from ant_spark.functions.htmldom import compile_selector, parse, text
+
+    doc = parse("<p>1<b>2<i>3</b>4</i>5</p>")
+    # spec tree: p > (1, b>(2, i>3), i>4, 5)
+    assert text(doc) == "12345"
+    i_nodes = compile_selector("p > i").match_all(doc)
+    assert [text(n) for n in i_nodes] == ["4"]
+    assert [text(n) for n in compile_selector("b > i").match_all(doc)] == ["3"]
+    # furthest-block split: <b>x<div>y</b>z -> b>x, div>(b>y, z)
+    doc2 = parse("<b>x<div>y</b>z</div>")
+    assert text(doc2) == "xyz"
+    assert [text(n) for n in compile_selector("div > b").match_all(doc2)] == ["y"]
+    body = doc2.children[0].children[1]
+    div = [c for c in body.children if c.tag == "div"][0]
+    assert [c.data for c in div.children if c.type == 0] == ["z"]
+
+
+def test_formatting_reconstruction_reopens_links():
+    """An implicitly-closed <a href> stays active and re-opens (clones)
+    before later content — x/net/html emits the href once per clone."""
+    from ant_spark.functions.htmldom import fast_extract, parse, stream_extract
+
+    html = "<p><a href='u'>1</p><p>2</a>3</p>"
+    dom = fast_extract(parse(html))
+    assert dom == ("123", ["u", "u"], "")
+    assert stream_extract(html) == dom
+    # a cell boundary is a formatting-scope marker: no leak across <td>s
+    html2 = "<table><td><b>x<td>y</table>"
+    dom2 = parse(html2)
+    assert [
+        n.tag for n in dom2.children[0].children[1].children[0].children
+    ] == ["tbody"]
+    from ant_spark.functions.htmldom import compile_selector, text as htext
+
+    assert [htext(n) for n in compile_selector("td > b").match_all(dom2)] == ["x"]
+
+
+def test_implied_tbody_tr_synthesis():
+    """<table><td> produces the full table>tbody>tr>td ancestor chain, so
+    reference-style selector specs written for well-formed tables keep
+    matching sloppy real-web tables."""
+    from ant_spark.functions.htmldom import compile_selector, parse, text
+
+    for html in (
+        "<table><tr><td>A</td></tr></table>",
+        "<table><td>A</table>",
+        "<table><tbody><td>A</tbody></table>",
+    ):
+        doc = parse(html)
+        got = [text(n) for n in compile_selector("table > tbody > tr > td").match_all(doc)]
+        assert got == ["A"], (html, got)

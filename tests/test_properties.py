@@ -68,8 +68,11 @@ def test_stream_matches_dom(atoms):
 # foreign content, entities inside RCDATA.
 _html5_atoms = st.sampled_from(
     [
-        # misnested formatting (adoption-agency territory)
+        # misnested formatting (adoption-agency territory: reconstruction,
+        # furthest-block splits, <a>-in-<a>, Noah's Ark, cell markers)
         "<b>", "<i>", "</b>", "</i>", "<b>x<i>y</b>z</i>",
+        "<em>", "</em>", "<u>", "</u>", "<a href='/f'>", "</a>",
+        "<b><i>", "</b></i>", "<b>q<div>r</b>s</div>",
         # tables + foster-parenting triggers
         "<table>", "</table>", "<tr>", "</tr>", "<td>", "</td>", "<th>",
         "<tbody>", "</tbody>", "<thead>", "<caption>", "</caption>",
