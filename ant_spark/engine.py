@@ -307,6 +307,39 @@ class Engine:
         )
         return spark.table(name)
 
+    @staticmethod
+    def create_rank_table(
+        spark: SparkSession,
+        rank_df: DataFrame,
+        name: str,
+        path: str,
+        buckets: int = 32,
+    ) -> DataFrame:
+        """Write a (url, priority) rank signal as a url_hash-bucketed
+        external table — the corpus-scale form of ``CrawlConfig.
+        priority_join`` (10^10-row PageRank tables that no driver map or
+        broadcast can carry). With ``priority_join_broadcast=False`` and
+        ``state_backend='bucketed'`` the engine joins this table against
+        the same-bucketed staged links each round as a storage-partitioned
+        sort-merge join: the rank side is read in place with NO Exchange
+        (the fetch-join idiom, queue.go:12-49 priority seam at frontier
+        scale). ``buckets`` must equal ``CrawlConfig.state_partitions``."""
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        (
+            rank_df.select(
+                url_hash(F.col("url")).alias("url_hash"),
+                "url",
+                F.col("priority").cast("double").alias("priority"),
+            )
+            .write.mode("overwrite")
+            .format("parquet")
+            .bucketBy(buckets, "url_hash")
+            .sortBy("url_hash")
+            .option("path", path)
+            .saveAsTable(name)
+        )
+        return spark.table(name)
+
     def _robots_is_empty(self) -> bool:
         if self._robots_empty is None:
             self._robots_empty = self.robots.limit(1).count() == 0
@@ -771,6 +804,34 @@ class Engine:
                 bloom_state = self._bloom.add(frontier, self._bloom.empty_state(spark))
                 bloom_state = self._write_state(root, 0, "bloom", bloom_state)
 
+        # Corpus-scale priority signal (priority_join_broadcast=False in the
+        # bucketed exact-dedupe mode): project the rank table ONCE, keeping
+        # its stored url_hash column so the storage bucketing survives the
+        # projection — the per-round join against the staged (same-bucketed)
+        # links table is then a storage-partitioned SMJ: the huge rank side
+        # is read in place with ZERO Exchange (the fetch-join/seen-anti-join
+        # idiom; see Engine.create_rank_table). Recomputing url_hash(url)
+        # here would be semantically equal but a DIFFERENT expression, so
+        # Catalyst would no longer recognize the table's partitioning.
+        pj_bucketed = None
+        if (
+            cfg.priority_join is not None
+            and not cfg.priority_join_broadcast
+            and self._bucketed
+            and (cfg.dedupe == "exact" or self._bloom is None)
+        ):
+            _pj_src = cfg.priority_join
+            _pj_hash_c = (
+                F.col("url_hash")
+                if "url_hash" in _pj_src.columns
+                else url_hash(F.col("url"))
+            )
+            pj_bucketed = _pj_src.select(
+                _pj_hash_c.alias("_pj_hash"),
+                F.col("url").alias("_pj_url"),
+                F.col("priority").cast("double").alias("_pj_prio"),
+            )
+
         metric_rows: list[tuple] = []
         rounds_run = 0
         crawl_wall = 0.0
@@ -1039,6 +1100,18 @@ class Engine:
                     .saveAsTable(self._links_tbl)
                 )
                 links = spark.table(self._links_tbl)
+                if pj_bucketed is not None:
+                    # URL-level rank at corpus scale: both sides bucketed
+                    # on url_hash → storage-partitioned SMJ, no Exchange on
+                    # the (10^10-row) rank side; url equality rides along
+                    # for hash-collision safety. The joined priority flows
+                    # through dedupe + seq assignment to the final select.
+                    links = links.join(
+                        pj_bucketed,
+                        (links["url_hash"] == pj_bucketed["_pj_hash"])
+                        & (links["url"] == pj_bucketed["_pj_url"]),
+                        "left",
+                    ).drop("_pj_hash", "_pj_url")
 
             if cfg.dedupe == "exact" or self._bloom is None:
                 new_links = exact_new(links, seen)
@@ -1094,6 +1167,9 @@ class Engine:
                 if cfg.priority_fn is not None
                 else F.lit(0.0)
             )
+            if pj_bucketed is not None:
+                # bucketed-path rank joined upstream; misses fall back
+                priority_col = F.coalesce(F.col("_pj_prio"), priority_col)
             new_rows = new_rows.select(
                 "url", "url_hash",
                 host_of(F.col("url")).alias("host"),
@@ -1103,15 +1179,17 @@ class Engine:
                 F.lit(1).alias("attempt"),
                 F.lit(0).cast("long").alias("not_before"),
             )
-            if cfg.priority_join is not None:
+            if cfg.priority_join is not None and pj_bucketed is None:
                 # URL-level rank signal as an in-round equi-join — the
                 # 10^10-frontier shape a driver-literal map can't carry
                 # (rank_priority_fn's documented seam): new links pick up
                 # (url_hash, url)-keyed priorities (collision-safe, same
                 # key idiom as the seen anti-join); misses keep the
                 # priority_fn/default value. Catalyst broadcasts a small
-                # rank table; at corpus scale store it url_hash-bucketed
-                # like the pages table for a shuffle-free sort-merge join.
+                # rank table; at corpus scale set priority_join_broadcast=
+                # False with state_backend='bucketed' and a create_rank_table
+                # table — the join then runs upstream against the staged
+                # bucketed links (storage-partitioned SMJ, zero Exchange).
                 pj = cfg.priority_join.select(
                     url_hash(F.col("url")).alias("_pj_hash"),
                     F.col("url").alias("_pj_url"),

@@ -199,3 +199,62 @@ def test_bulk_seed_duplicate_priorities_single_fetch(spark):
         "http://example.com/a.html",
         "http://example.com/b.html",
     }
+
+
+def test_priority_join_bucketed_zero_exchange(spark, tmp_path):
+    """Corpus-scale rank path (priority_join_broadcast=False + bucketed
+    state): the rank table written via Engine.create_rank_table joins the
+    staged links as a storage-partitioned SMJ — crawl order matches the
+    broadcast path exactly, and with broadcast disabled every round's
+    dedupe+rank plan has ZERO Exchange nodes (the huge rank side is read
+    in place — queue.go:12-49 priority seam at 10^10-frontier shape)."""
+    import io
+    import os
+    import re
+    from contextlib import redirect_stdout
+
+    from ant_spark.functions.parse import make_links_udf
+    from ant_spark.operators.graphops import pagerank, rank_priority_table
+    from ant_spark.sources.webgraph import example_hub_site
+
+    pages_pdf, _, seeds = example_hub_site()
+    pages = spark.createDataFrame(pages_pdf, schema=schemas.PAGES)
+    links_udf = make_links_udf()
+    edges = pages.select(
+        F.col("url").alias("src"),
+        F.explode(links_udf(F.col("url"), F.col("html"))).alias("dst"),
+    )
+    ptab = Engine.create_rank_table(
+        spark, rank_priority_table(pagerank(edges, n_iter=3)),
+        "t_rank_bkt", str(tmp_path / "rank_tbl"), buckets=8,
+    )
+    old_thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    os.environ["ANT_SPARK_EXPLAIN_DEDUPE"] = "1"
+    try:
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            res = Engine(
+                spark, pages, None,
+                CrawlConfig(
+                    max_rounds=12, host_rates={"example.com": 1},
+                    ordering="bfs", queue_policy="priority",
+                    priority_join=ptab, priority_join_broadcast=False,
+                    state_backend="bucketed", bucketed_switch_rows=0,
+                    state_partitions=8, dedupe="exact",
+                ),
+            ).run(seeds)
+        plans = buf.getvalue()
+    finally:
+        os.environ.pop("ANT_SPARK_EXPLAIN_DEDUPE")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thr)
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", old_thr)
+    order = [
+        r["url"].rsplit("/", 1)[-1] or "/"
+        for r in res.fetched_log.orderBy("round").collect()
+    ]
+    assert order == ["/", "hub.html", "x.html", "p1.html", "p2.html"]
+    n_ex = [int(m) for m in re.findall(r"Exchanges=(\d+)", plans)]
+    assert n_ex and all(x == 0 for x in n_ex), n_ex
+    assert "_pj_hash" in plans and "SortMergeJoin LeftOuter" in plans

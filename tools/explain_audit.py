@@ -227,6 +227,51 @@ def main() -> None:
           f"({len(pj_joins)} rank-table joins, all broadcast)")
     results.append(ok7)
 
+    # 8. priority_join at corpus scale (priority_join_broadcast=False +
+    # bucketed state): with broadcast disabled entirely, the rank-table
+    # join must run as a storage-partitioned SortMergeJoin stacked on the
+    # bucketed anti-join — ZERO Exchange nodes in every round's dedupe
+    # plan (the 10^10-row rank side is read in place; queue.go:12-49
+    # priority seam at frontier scale).
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    os.environ["ANT_SPARK_EXPLAIN_DEDUPE"] = "1"
+    try:
+        rank_dir = _tf.mkdtemp(prefix="audit_rank_tbl_")
+        rtab = Engine.create_rank_table(
+            spark, ptab, "audit_rank_bkt", os.path.join(rank_dir, "t"),
+            buckets=8,
+        )
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            Engine(
+                spark, phe, None,
+                CrawlConfig(
+                    max_rounds=3, queue_policy="priority",
+                    priority_join=rtab, priority_join_broadcast=False,
+                    state_backend="bucketed", bucketed_switch_rows=0,
+                    state_partitions=8, dedupe="exact",
+                ),
+            ).run(hseeds)
+        pjb_out = buf.getvalue()
+    finally:
+        os.environ.pop("ANT_SPARK_EXPLAIN_DEDUPE")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thr)
+        if old_athr is not None:
+            spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", old_athr)
+    n_ex8 = [int(m) for m in re.findall(r"Exchanges=(\d+)", pjb_out)]
+    ok8 = (
+        bool(n_ex8)
+        and all(x == 0 for x in n_ex8)
+        and "_pj_hash" in pjb_out
+        and "SortMergeJoin LeftOuter" in pjb_out
+        and "SortMergeJoin LeftAnti" in pjb_out
+    )
+    print(f"{'PASS' if ok8 else 'FAIL'}  priority_join_bucketed_no_exchange "
+          f"(dedupe+rank-join Exchanges per round: {n_ex8}, SMJ over "
+          f"bucketed rank table)")
+    results.append(ok8)
+
     print(f"\n{'ALL PASS' if all(results) else 'AUDIT FAILURES'}")
     sys.exit(0 if all(results) else 1)
 
