@@ -15,10 +15,11 @@ seed path (``Engine.run`` accepts a seeds DataFrame — the reference's
 - ``read_sitemap(spark, path)`` — binaryFile scan → Arrow-batched parser:
   (loc, kind, lastmod, changefreq, priority). File = task granularity,
   same as the WARC source; a 50k-URL sitemap file is one task.
+- ``crawl_sitemaps(spark, paths, max_levels=2)`` — whole-tree reader:
+  walks ``<sitemapindex>`` levels (one distributed read_sitemap pass per
+  level; cycle-safe), unions the url entries.
 - ``sitemap_seeds(df)`` — the engine adapter: page URLs only, one ``url``
-  column, ready for ``Engine.run(seeds_df)``. Sitemap-index rows are the
-  fetch list for the NEXT read_sitemap pass (the driver loops over index
-  levels — sitemap trees are ≤2 levels deep by spec convention).
+  column, ready for ``Engine.run(seeds_df)``.
 
 The reference has no sitemap support (its Enqueue takes caller URLs);
 this is a beyond-reference source in the same spirit as WARC — the
@@ -110,8 +111,10 @@ def parse_sitemap_bytes(buf: bytes) -> Iterator[dict]:
             yield rec
 
 
-def read_sitemap(spark: SparkSession, path: str) -> DataFrame:
-    """Sitemap source: binaryFile scan → Arrow-batched XML record parser."""
+def read_sitemap(spark: SparkSession, path: str | list[str]) -> DataFrame:
+    """Sitemap source: binaryFile scan → Arrow-batched XML record parser.
+
+    ``path`` is a file/glob or a list of them (one task per file)."""
     import pandas as pd
 
     files = spark.read.format("binaryFile").load(path).select("content")
@@ -126,6 +129,52 @@ def read_sitemap(spark: SparkSession, path: str) -> DataFrame:
             )
 
     return files.mapInPandas(fn, SITEMAP_RECORDS)
+
+
+def crawl_sitemaps(
+    spark: SparkSession,
+    paths: str | list[str],
+    max_levels: int = 2,
+    loc_to_path=None,
+) -> DataFrame:
+    """Read a whole sitemap TREE — index files recursed, url entries unioned.
+
+    ``<sitemapindex>`` entries point at further sitemap files; this walks
+    them level by level (``max_levels`` index hops past the root, 2 by the
+    sitemaps.org convention — trees are index → urlset). Each level is one
+    distributed ``read_sitemap`` pass over that level's file list; only the
+    (small, spec-capped at 50k/index) list of child-file locations passes
+    through the driver — the same granularity any Spark read's path list
+    has. Already-visited paths are skipped, so a cyclic index terminates.
+
+    ``loc_to_path`` maps a ``<loc>`` value to a readable path for offline
+    corpora (default: strip a ``file://`` scheme, else use the loc as-is —
+    live crawls fetch locs over HTTP and hand the landed files back in).
+    Returns the union of url-kind records in the ``read_sitemap`` schema;
+    feed through ``sitemap_seeds`` → ``Engine.run(seeds_df)``.
+    """
+    if loc_to_path is None:
+        def loc_to_path(loc: str) -> str:
+            return loc[7:] if loc.startswith("file://") else loc
+
+    frontier = [paths] if isinstance(paths, str) else list(paths)
+    visited: set[str] = set()
+    levels: list[DataFrame] = []
+    for _ in range(max_levels + 1):
+        frontier = [p for p in frontier if p not in visited]
+        if not frontier:
+            break
+        visited.update(frontier)
+        df = read_sitemap(spark, frontier)
+        levels.append(df.filter(F.col("kind") == "url"))
+        children = df.filter(F.col("kind") == "sitemap").select("loc").collect()
+        frontier = [loc_to_path(r["loc"]) for r in children]
+    if not levels:
+        return spark.createDataFrame([], SITEMAP_RECORDS)
+    out = levels[0]
+    for df in levels[1:]:
+        out = out.unionByName(df)
+    return out
 
 
 def sitemap_seeds(df: DataFrame) -> DataFrame:

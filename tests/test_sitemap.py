@@ -77,3 +77,55 @@ def test_sitemap_seeded_crawl(spark, tmp_path):
     assert order[:3] == ["/", "products.html", "about.html"]  # hint order
     assert set(order[3:]) == {"a.html", "b.html"}  # discovered afterwards
     assert len(set(order)) == len(order)  # exactly-once
+
+
+def test_crawl_sitemaps_two_level_tree(spark, tmp_path):
+    """Sitemap-index recursion as a first-class helper: a gzipped
+    sitemapindex pointing at two child urlsets (one gzipped, one plain,
+    one loc with a file:// scheme) reads as ONE DataFrame of url entries;
+    the tree feeds Engine.run end-to-end. A self-referencing index entry
+    must terminate (cycle guard), and max_levels bounds the walk."""
+    from ant_spark.sources.sitemap import crawl_sitemaps
+
+    s1 = tmp_path / "s1.xml.gz"
+    s1.write_bytes(gzip.compress(
+        b'<urlset><url><loc>http://example.com/</loc>'
+        b'<priority>0.9</priority></url></urlset>'
+    ))
+    s2 = tmp_path / "s2.xml"
+    s2.write_bytes(
+        b'<urlset><url><loc>http://example.com/about.html</loc>'
+        b'<priority>0.4</priority></url>'
+        b'<url><loc>http://example.com/products.html</loc></url></urlset>'
+    )
+    idx = tmp_path / "index.xml.gz"
+    idx.write_bytes(gzip.compress(
+        b'<sitemapindex xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+        + f'<sitemap><loc>{s1}</loc></sitemap>'.encode()
+        + f'<sitemap><loc>file://{s2}</loc></sitemap>'.encode()
+        + f'<sitemap><loc>{idx}</loc></sitemap>'.encode()  # cycle
+        + b'</sitemapindex>'
+    ))
+    tree = crawl_sitemaps(spark, str(idx))
+    got = {r["loc"]: r["priority"] for r in tree.collect()}
+    assert got == {
+        "http://example.com/": 0.9,
+        "http://example.com/about.html": 0.4,
+        "http://example.com/products.html": None,
+    }
+    assert tree.filter(tree.kind != "url").count() == 0
+    # max_levels=0 stops at the root: index entries only, no urls surface
+    assert crawl_sitemaps(spark, str(idx), max_levels=0).count() == 0
+
+    pages_pdf, robots_pdf, _ = example_site()
+    pages = spark.createDataFrame(pages_pdf, schema=schemas.PAGES)
+    robots = spark.createDataFrame(robots_pdf, schema=schemas.ROBOTS)
+    res = Engine(
+        spark, pages, robots,
+        CrawlConfig(max_rounds=12, queue_policy="priority",
+                    host_rates={"example.com": 1}),
+    ).run(sitemap_seeds(tree))
+    order = [r["url"].rsplit("/", 1)[-1] or "/"
+             for r in res.fetched_log.orderBy("round").collect()]
+    assert order[:3] == ["/", "products.html", "about.html"]
+    assert len(set(order)) == len(order)
