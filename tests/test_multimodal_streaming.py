@@ -398,3 +398,88 @@ def test_stream_curate_malformed_date_uses_segment_mtime(spark, tmp_path):
     got = {r["doc_key"]: r for r in spark.read.parquet(out).collect()}
     assert set(got) == {"http://m.test/ok", "http://m.test/bad-date"}
     assert got["http://m.test/bad-date"]["lang_id"] == "en"
+
+
+def test_lambda_stream_delta_plus_batch_sweep(spark, tmp_path):
+    """The documented lambda split, end-to-end: the STREAM curates landed
+    segments with watermark-bounded exact dedupe (state never outgrows the
+    horizon); an exact re-crawl BEYOND the horizon lands again and is
+    caught by the BATCH ``incremental_new`` anti-join against the prior
+    snapshot's fingerprints; near-dups (which no stream can catch — banded
+    self-joins need the candidate universe) fall to the batch
+    ``curate(near_dup='components')`` sweep. Three streamed segments, one
+    exact recurrence, one near-dup, one genuinely new doc."""
+    import datetime as dt
+
+    from ant_spark.operators.curation import curate
+    from ant_spark.operators.textops import fingerprint, incremental_new
+    from ant_spark.sources.warc import write_warc
+    from ant_spark.streaming.pipeline import stream_curate
+    from pyspark.sql import functions as F
+
+    base = dt.datetime(2025, 1, 1, tzinfo=dt.timezone.utc)
+    doc_a = ("the river boats carried the grain to the market town where "
+             "the people of the valley traded the goods and the news of "
+             "the harvest season with the merchants of the plains")
+    doc_b = ("the observatory on the hill records the weather and the "
+             "stars for the scholars of the city who publish the tables "
+             "of the tides and the seasons for the sailors of the coast")
+    doc_c = ("the library of the old quarter keeps the maps and the "
+             "letters of the traders who crossed the mountains with the "
+             "caravans and wrote of the roads and the wells and the passes")
+    near_b = doc_b.replace("the coast", "the gulf")  # 3-shingle delta
+    doc_e = ("the mill by the bridge grinds the wheat of the northern "
+             "farms and the miller keeps the ledger of the sacks and the "
+             "tolls of the road for the council of the town each season")
+
+    def rec(url, body, ts):
+        return {"url": url, "warc_ts": ts, "status": 200,
+                "html": f"<html><body>{body}</body></html>".encode()}
+
+    seg_dir = tmp_path / "segs"
+    seg_dir.mkdir()
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ck")
+
+    def drain():
+        q = stream_curate(spark, str(seg_dir), out, ckpt,
+                          langs=("en",), min_quality=0.5, watermark="2 hours")
+        q.awaitTermination(120)
+        return spark.read.parquet(out)
+
+    write_warc([rec("http://s.test/a", doc_a, base),
+                rec("http://s.test/b", doc_b, base)],
+               str(seg_dir / "seg-0.warc.gz"))
+    drain()
+    day2 = base + dt.timedelta(days=1)
+    write_warc([rec("http://s.test/c", doc_c, day2)],
+               str(seg_dir / "seg-1.warc.gz"))
+    drain()  # advances the watermark past seg-0: a/b fp state evicted
+
+    cur = drain()  # no new segment: prior snapshot as of seg-1
+    prior = cur.select(F.col("doc_key").alias("doc_id"), "text")
+    seen_fps = prior.select(fingerprint(F.col("text")).alias("fp"))
+
+    write_warc([rec("http://s.test/a-again", doc_a, day2 + dt.timedelta(minutes=10)),
+                rec("http://s.test/nearb", near_b, day2 + dt.timedelta(minutes=11)),
+                rec("http://s.test/e", doc_e, day2 + dt.timedelta(minutes=12))],
+               str(seg_dir / "seg-2.warc.gz"))
+    all_rows = drain()
+    seg2 = all_rows.filter(F.col("warc_ts") > day2 + dt.timedelta(minutes=5))
+    # the exact recurrence is OUTSIDE the stream's watermark horizon, so
+    # the stream (correctly, state-bounded) let it land again:
+    assert "http://s.test/a-again" in {r["doc_key"] for r in seg2.collect()}
+
+    # batch leg 1 — exact delta vs the prior snapshot's fingerprints:
+    delta = incremental_new(
+        seg2.select(F.col("doc_key").alias("doc_id"), "text"), seen_fps)
+    assert {r["doc_id"] for r in delta.collect()} == {
+        "http://s.test/nearb", "http://s.test/e"}
+
+    # batch leg 2 — chain-correct near-dup sweep over prior ∪ delta:
+    kept, stats = curate(prior.unionByName(delta), near_dup="components")
+    assert {r["doc_id"] for r in kept.collect()} == {
+        "http://s.test/a", "http://s.test/b", "http://s.test/c",
+        "http://s.test/e"}  # nearb clustered with b, representative kept
+    st = {r["stage"]: r["n"] for r in stats.collect()}
+    assert st["exact_unique"] == 5 and st["kept"] == 4  # one near-dup dropped
