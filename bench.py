@@ -150,6 +150,23 @@ def main() -> None:
     ).write.format("noop").mode("overwrite").save()
     timings["text_minhash_lsh_pairs_xxhash64"] = round(time.time() - t, 3)
 
+    # --- round-5 operator additions, benched under their OWN key --------
+    # (VERDICT r5 #9: keep the legacy `value`/`queries` totals
+    # like-for-like with BENCH_r04/r05; these queries were BENCH.md-only
+    # last round — promoting them into the driver bench without skewing
+    # the comparable total.)
+    new_ops: dict[str, float] = {}
+    for name in [
+        "text_top_idf_terms",
+        "text_duplicate_spans",
+        "text_incremental_new",
+        "graph_host_rank",
+        "graph_pagerank",
+    ]:
+        t = time.time()
+        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        new_ops[name] = round(time.time() - t, 3)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -158,6 +175,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "new_ops": new_ops,
+                "new_ops_total": round(sum(new_ops.values()), 3),
                 "sf": sf,
                 "crawl_urls_per_sec": round(urls_per_sec, 1),
                 "crawl_pages_fetched": res.pages_fetched,
