@@ -1,5 +1,10 @@
 """API-surface parity: pattern/regexp rate limits, cache freshness, scrape
-spec E2E (the quotes example shape), link_selector, cuckoo dedupe mode."""
+spec E2E (the quotes example shape), link_selector, cuckoo dedupe mode.
+
+The independent bodies run CONCURRENTLY in one Spark session (contract-suite
+pattern; each test owns one worker future and re-raises its failure). The
+WindowGroupLimit pushdown test stays SERIAL — redirect_stdout is
+process-global and would swallow concurrent workers' output."""
 
 import datetime as dt
 
@@ -12,7 +17,7 @@ from ant_spark.engine import CrawlConfig, Engine
 from ant_spark.sources.webgraph import example_site
 
 
-def test_rule_budget_pattern_and_regexp(spark):
+def _w_rb_pattern_regexp(spark, example):
     from ant_spark.operators.politeness import rule_budget
 
     rows = [
@@ -29,7 +34,7 @@ def test_rule_budget_pattern_and_regexp(spark):
     assert sorted(r["seq"] for r in deferred.collect()) == [2, 3, 4, 5, 103]
 
 
-def test_rule_budget_overlapping_rules_exact(spark):
+def _w_rb_overlapping(spark, example):
     """mode='all' (default) reproduces the reference's serial multi-bucket
     acquisition (limiters.go:44-88): a row must fit within EVERY matching
     rule's budget, and a row deferred at rule j still consumed tokens of
@@ -52,7 +57,7 @@ def test_rule_budget_overlapping_rules_exact(spark):
     assert sorted(r["seq"] for r in deferred.collect()) == [4, 5, 6, 7, 8, 9]
 
 
-def test_rule_budget_full_overlap_is_min(spark):
+def _w_rb_full_overlap(spark, example):
     """Two rules matching every row: the admitted count equals the MIN of
     the budgets (each bucket binds independently)."""
     from ant_spark.operators.politeness import rule_budget
@@ -112,7 +117,7 @@ def test_rule_budget_capped_window_pushdown(spark):
     assert deferred.count() == 46
 
 
-def test_cache_freshness_and_merge(spark):
+def _w_cache_freshness(spark, example):
     from ant_spark.operators.cache import fresh_only, merge_fetched
 
     base = dt.datetime(2025, 1, 1, tzinfo=dt.timezone.utc)
@@ -147,7 +152,7 @@ def example(spark):
     )
 
 
-def test_scrape_spec_e2e(spark, example):
+def _w_scrape_spec(spark, example):
     """The quotes-style extraction (reference Readme + json_test.go:12-53):
     '.project h1' over /about.html yields name=Ant."""
     pages, robots, seeds = example
@@ -163,7 +168,7 @@ def test_scrape_spec_e2e(spark, example):
     assert data["http://example.com/"]["name"] == ""
 
 
-def test_link_selector_pagination(spark, example):
+def _w_link_selector(spark, example):
     """Page.Next semantics: crawl following only 'a.next' links — from /
     nothing matches, so with seed /about.html only /a.html is discovered."""
     pages, robots, _ = example
@@ -173,7 +178,7 @@ def test_link_selector_pagination(spark, example):
     assert urls == ["http://example.com/a.html", "http://example.com/about.html"]
 
 
-def test_cuckoo_drop_mode_crawls(spark, example):
+def _w_cuckoo_drop(spark, example):
     """cuckoo_drop reproduces DedupeBF shape: crawl completes, no URL twice
     (false-positive drops possible but astronomically unlikely at 6 urls)."""
     pages, robots, seeds = example
@@ -184,7 +189,7 @@ def test_cuckoo_drop_mode_crawls(spark, example):
     assert "http://example.com/about.html" in urls
 
 
-def test_bloom_prefilter_matches_exact(spark, example):
+def _w_bloom_prefilter(spark, example):
     pages, robots, seeds = example
     exact = Engine(spark, pages, robots, CrawlConfig(max_rounds=8)).run(seeds)
     bloom = Engine(
@@ -197,7 +202,7 @@ def test_bloom_prefilter_matches_exact(spark, example):
     )
 
 
-def test_fetch_one(spark, example):
+def _w_fetch_one(spark, example):
     from ant_spark.engine import fetch_one
 
     pages, _, _ = example
@@ -206,7 +211,7 @@ def test_fetch_one(spark, example):
     assert row["links"] == ["http://example.com/", "http://example.com/a.html"]
 
 
-def test_host_rate_limits_rounds(spark, example):
+def _w_host_rate(spark, example):
     """LimitHostname(1): one fetch per round → ≥5 rounds for 5 pages."""
     pages, robots, seeds = example
     cfg = CrawlConfig(max_rounds=12, host_rates={"example.com": 1})
@@ -216,3 +221,66 @@ def test_host_rate_limits_rounds(spark, example):
     # FIFO order preserved under budget pressure
     seqs = [r["seq"] for r in res.fetched_log.orderBy("round").collect()]
     assert seqs == sorted(seqs)
+
+
+_WORKERS = {
+    "rb_pattern_regexp": _w_rb_pattern_regexp,
+    "rb_overlapping": _w_rb_overlapping,
+    "rb_full_overlap": _w_rb_full_overlap,
+    "cache_freshness": _w_cache_freshness,
+    "scrape_spec": _w_scrape_spec,
+    "link_selector": _w_link_selector,
+    "cuckoo_drop": _w_cuckoo_drop,
+    "bloom_prefilter": _w_bloom_prefilter,
+    "fetch_one": _w_fetch_one,
+    "host_rate": _w_host_rate,
+}
+
+
+@pytest.fixture(scope="module")
+def api_runs(spark, example):
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=len(_WORKERS)) as ex:
+        futs = {n: ex.submit(fn, spark, example) for n, fn in _WORKERS.items()}
+    return futs
+
+
+def test_rule_budget_pattern_and_regexp(api_runs):
+    api_runs["rb_pattern_regexp"].result()
+
+
+def test_rule_budget_overlapping_rules_exact(api_runs):
+    api_runs["rb_overlapping"].result()
+
+
+def test_rule_budget_full_overlap_is_min(api_runs):
+    api_runs["rb_full_overlap"].result()
+
+
+def test_cache_freshness_and_merge(api_runs):
+    api_runs["cache_freshness"].result()
+
+
+def test_scrape_spec_e2e(api_runs):
+    api_runs["scrape_spec"].result()
+
+
+def test_link_selector_pagination(api_runs):
+    api_runs["link_selector"].result()
+
+
+def test_cuckoo_drop_mode_crawls(api_runs):
+    api_runs["cuckoo_drop"].result()
+
+
+def test_bloom_prefilter_matches_exact(api_runs):
+    api_runs["bloom_prefilter"].result()
+
+
+def test_fetch_one(api_runs):
+    api_runs["fetch_one"].result()
+
+
+def test_host_rate_limits_rounds(api_runs):
+    api_runs["host_rate"].result()

@@ -1,9 +1,18 @@
 """E2E golden crawls (reference engine_test.go:28-77 ported to the BSP engine).
 
-These are the expensive tests: each runs a full multi-round crawl through
-the real round loop (robots → politeness → fetch-join → parse UDF → dedupe →
-commit). Grouped to keep total wall-clock down.
+These are the expensive tests: each runs a full multi-round crawl sequence
+through the real round loop (robots → politeness → fetch-join → parse UDF →
+dedupe → commit). The independent sequences run CONCURRENTLY in one Spark
+session (the contract-suite pattern: separate driver threads, the scheduler
+interleaves their stages — engine rounds are scheduling-bound, not CPU-bound,
+at these graph sizes), so module wall-clock ≈ the slowest single sequence
+instead of the sum. Each pytest test owns one worker's future and re-raises
+its failure with the full traceback, keeping per-test attribution.
 """
+
+import datetime as dt
+import json
+import os
 
 import pandas as pd
 import pytest
@@ -13,16 +22,15 @@ from ant_spark.engine import CrawlConfig, Engine
 from ant_spark.sources.webgraph import GraphConfig, example_site, generate
 
 
-@pytest.fixture(scope="module")
-def example(spark):
+def _example(spark):
     pages_pdf, robots_pdf, seeds = example_site()
     pages = spark.createDataFrame(pages_pdf, schema=schemas.PAGES)
     robots = spark.createDataFrame(robots_pdf, schema=schemas.ROBOTS)
     return pages, robots, seeds, pages_pdf
 
 
-def test_golden_crawl_visited_set_and_bfs_order(spark, example):
-    pages, robots, seeds, pages_pdf = example
+def _w_golden(spark, tmp):
+    pages, robots, seeds, pages_pdf = _example(spark)
     # ordering='bfs' is the opt-in sequential-parity mode (Workers=1 FIFO);
     # the engine default is the scale-safe 'partitioned' scheme.
     res = Engine(
@@ -49,10 +57,10 @@ def test_golden_crawl_visited_set_and_bfs_order(spark, example):
     assert stages["fetched"] == 5
 
 
-def test_matcher_limits_crawl(spark, example):
+def _w_matcher(spark, tmp):
     from ant_spark.operators.matchers import match_pattern
 
-    pages, robots, seeds, _ = example
+    pages, robots, seeds, _ = _example(spark)
     res = Engine(
         spark, pages, robots,
         CrawlConfig(matcher=match_pattern("example.com/"), max_rounds=5),
@@ -60,9 +68,7 @@ def test_matcher_limits_crawl(spark, example):
     assert [r["url"] for r in res.fetched_log.collect()] == ["http://example.com/"]
 
 
-def test_retry_and_dead_letter(spark):
-    import datetime as dt
-
+def _w_retry(spark, tmp):
     base = dt.datetime(2025, 1, 1, tzinfo=dt.timezone.utc)
     pages_pdf = pd.DataFrame(
         [
@@ -101,14 +107,14 @@ def test_retry_and_dead_letter(spark):
     assert "perm_error" not in stages
 
 
-def test_synthetic_graph_full_coverage_and_resume(spark, tmp_path):
+def _w_synthetic(spark, tmp):
     cfg = GraphConfig(n_pages=120, n_hosts=4, crawl_delay_hosts=0,
                       robots_disallow_hosts=2, flaky_every=0)
     pages_pdf, robots_pdf, seeds = generate(cfg)
     pages = spark.createDataFrame(pages_pdf, schema=schemas.PAGES)
     robots = spark.createDataFrame(robots_pdf, schema=schemas.ROBOTS)
 
-    ckpt = str(tmp_path / "ckpt")
+    ckpt = str(tmp / "ckpt")
     eng = Engine(spark, pages, robots, CrawlConfig(checkpoint_dir=ckpt, max_rounds=3))
     part1 = eng.run(seeds)
     assert part1.rounds == 3
@@ -138,19 +144,16 @@ def test_synthetic_graph_full_coverage_and_resume(spark, tmp_path):
     assert a == b
 
 
-def test_seen_compaction_and_state_expiry(spark, tmp_path):
+def _w_compaction(spark, tmp):
     """Deep chain crawl: per-round seen reads stay O(1) dirs (compaction),
     old round dirs lose their state files but keep fetched_log + MANIFEST
     (expiry), and resume across a compaction boundary is exactly-once."""
-    import json
-    import os
-
     cfg = GraphConfig(n_pages=24, n_hosts=1, fanout=1, flaky_every=0,
                       robots_disallow_hosts=0, dangling_every=0)
     pages_pdf, robots_pdf, seeds = generate(cfg)
     pages = spark.createDataFrame(pages_pdf, schema=schemas.PAGES)
 
-    ckpt = str(tmp_path / "deep")
+    ckpt = str(tmp / "deep")
     ecfg = CrawlConfig(checkpoint_dir=ckpt, seen_compact_every=6,
                        expire_state_rounds=2, max_rounds=10)
     eng = Engine(spark, pages, None, ecfg)
@@ -180,7 +183,7 @@ def test_seen_compaction_and_state_expiry(spark, tmp_path):
     assert set(urls) == set(pages_pdf.url)  # full chain covered
 
 
-def test_bucketed_state_backend_golden_and_resume(spark, tmp_path):
+def _w_bucketed_state(spark, tmp):
     """state_backend='bucketed': the seen set lives in one url_hash-bucketed
     table (storage-partitioned anti-join — 0 seen-side Exchanges, evidenced
     in tools/bucketed_engine_ab.py); semantics must match parquet exactly."""
@@ -188,7 +191,7 @@ def test_bucketed_state_backend_golden_and_resume(spark, tmp_path):
     pages = spark.createDataFrame(pages_pdf, schema=schemas.PAGES)
     robots = spark.createDataFrame(robots_pdf, schema=schemas.ROBOTS)
 
-    ckpt = str(tmp_path / "bkt")
+    ckpt = str(tmp / "bkt")
     e1 = Engine(spark, pages, robots,
                 CrawlConfig(checkpoint_dir=ckpt, max_rounds=2,
                             state_backend="bucketed"))
@@ -204,19 +207,19 @@ def test_bucketed_state_backend_golden_and_resume(spark, tmp_path):
     assert sorted(set(urls)) == sorted(urls)  # exactly-once across resume
 
 
-def test_bucketed_pages_fetch_golden(spark, tmp_path, example):
+def _w_bucketed_pages(spark, tmp):
     """cfg.pages_table: the fetch join reads a url-bucketed page corpus
     with the admitted frontier staged into the same bucketing — plan is a
     0-Exchange storage-partitioned SMJ (tools/bucketed_fetch_ab.py is the
     measured A/B); semantics must match the plain join exactly, including
     BFS seq parity and resume."""
-    pages, robots, seeds, pages_pdf = example
+    pages, robots, seeds, pages_pdf = _example(spark)
     Engine.create_pages_table(
-        spark, pages, "t_pages_bkt", str(tmp_path / "pages_tbl"), buckets=4
+        spark, pages, "t_pages_bkt", str(tmp / "pages_tbl"), buckets=4
     )
     cfg = CrawlConfig(
         max_rounds=10, ordering="bfs", pages_table="t_pages_bkt",
-        fetch_buckets=4, checkpoint_dir=str(tmp_path / "ckpt"),
+        fetch_buckets=4, checkpoint_dir=str(tmp / "ckpt"),
     )
     res = Engine(spark, None, robots, cfg).run(seeds)
     rows = res.fetched_log.orderBy("seq").collect()
@@ -225,19 +228,16 @@ def test_bucketed_pages_fetch_golden(spark, tmp_path, example):
     assert [r["seq"] for r in rows] == [0, 1, 2, 4, 5]
 
 
-def test_auto_backend_switch_midcrawl(spark, tmp_path):
+def _w_auto_switch(spark, tmp):
     """state_backend='auto' (default): starts on parquet deltas, migrates
     the seen set into the bucketed table once total enqueued crosses the
     threshold — exactly-once across both the switch and a resume."""
-    import json
-    import os
-
     cfg = GraphConfig(n_pages=120, n_hosts=4, crawl_delay_hosts=0,
                       robots_disallow_hosts=0, flaky_every=0)
     pages_pdf, robots_pdf, seeds = generate(cfg)
     pages = spark.createDataFrame(pages_pdf, schema=schemas.PAGES)
 
-    ckpt = str(tmp_path / "auto")
+    ckpt = str(tmp / "auto")
     ecfg = dict(checkpoint_dir=ckpt, bucketed_switch_rows=50)
     eng = Engine(spark, pages, None, CrawlConfig(max_rounds=2, **ecfg))
     eng.run(seeds)
@@ -254,19 +254,17 @@ def test_auto_backend_switch_midcrawl(spark, tmp_path):
     assert set(urls) == set(pages_pdf.url)
 
 
-def test_bucketed_seen_table_compaction(spark, tmp_path):
+def _w_bucketed_compaction(spark, tmp):
     """Bucketed backend file compaction: the seen table is rewritten to a
     fresh versioned path every seen_compact_every rounds, so file count
     stays O(buckets) instead of O(rounds x buckets); resume follows the
     manifest's table pointer across the swap."""
-    import os
-
     cfg = GraphConfig(n_pages=16, n_hosts=1, fanout=1, flaky_every=0,
                       robots_disallow_hosts=0, dangling_every=0)
     pages_pdf, robots_pdf, seeds = generate(cfg)
     pages = spark.createDataFrame(pages_pdf, schema=schemas.PAGES)
 
-    ckpt = str(tmp_path / "bktc")
+    ckpt = str(tmp / "bktc")
     ecfg = dict(checkpoint_dir=ckpt, state_backend="bucketed",
                 seen_compact_every=4, state_partitions=4,
                 expire_state_rounds=2)
@@ -290,7 +288,7 @@ def test_bucketed_seen_table_compaction(spark, tmp_path):
     assert set(urls) == set(pages_pdf.url)
 
 
-def test_bucketed_both_crash_between_stage_and_commit(spark, tmp_path):
+def _w_crash_window(spark, tmp):
     """The full cluster-scale mode (pages_table fetch bucketing AND bucketed
     seen backend — zero Exchanges on both big joins) killed BETWEEN a
     round's staged writes and its manifest commit: the crashed round leaves
@@ -300,17 +298,15 @@ def test_bucketed_both_crash_between_stage_and_commit(spark, tmp_path):
     the orphans (overwriting the staged tables; the seen read filters
     round <= committed so the orphan append is invisible until the
     identical delta recommits over it) and stay exactly-once."""
-    import os
-
     cfg = GraphConfig(n_pages=60, n_hosts=3, crawl_delay_hosts=0,
                       robots_disallow_hosts=0, flaky_every=0)
     pages_pdf, robots_pdf, seeds = generate(cfg)
     pages = spark.createDataFrame(pages_pdf, schema=schemas.PAGES)
     Engine.create_pages_table(
-        spark, pages, "t_pages_cb", str(tmp_path / "pages_tbl"), buckets=4
+        spark, pages, "t_pages_cb", str(tmp / "pages_tbl"), buckets=4
     )
 
-    ckpt = str(tmp_path / "cb")
+    ckpt = str(tmp / "cb")
     ecfg = dict(checkpoint_dir=ckpt, state_backend="bucketed",
                 pages_table="t_pages_cb", fetch_buckets=4,
                 state_partitions=4)
@@ -332,7 +328,7 @@ def test_bucketed_both_crash_between_stage_and_commit(spark, tmp_path):
     assert set(urls) == set(pages_pdf.url)  # full coverage after resume
 
 
-def test_resume_with_priority_join_and_robots_ttl(spark, tmp_path):
+def _w_resume_priority_ttl(spark, tmp):
     """Kill/resume exactly-once with the round-5 features ON together:
     a joined priority table reorders fetches and a TTL'd robots feed is in
     play — the resumed crawl must neither refetch nor lose pages."""
@@ -354,7 +350,7 @@ def test_resume_with_priority_join_and_robots_ttl(spark, tmp_path):
         [("example.com", 200, "User-Agent: *\nDisallow:\n", None, None)],
         schema=schemas.ROBOTS,
     )
-    ckpt = str(tmp_path / "ck")
+    ckpt = str(tmp / "ck")
     base = dict(
         ordering="bfs", host_rates={"example.com": 1},
         queue_policy="priority", priority_join=ptab,
@@ -374,3 +370,77 @@ def test_resume_with_priority_join_and_robots_ttl(spark, tmp_path):
     assert order == ["/", "hub.html", "x.html", "p1.html", "p2.html"]
     # exactly-once: no url appears twice across the resumed log
     assert len({r["url"] for r in rows}) == len(rows)
+
+
+_WORKERS = {
+    "golden": _w_golden,
+    "matcher": _w_matcher,
+    "retry": _w_retry,
+    "synthetic": _w_synthetic,
+    "compaction": _w_compaction,
+    "bucketed_state": _w_bucketed_state,
+    "bucketed_pages": _w_bucketed_pages,
+    "auto_switch": _w_auto_switch,
+    "bucketed_compaction": _w_bucketed_compaction,
+    "crash_window": _w_crash_window,
+    "resume_priority_ttl": _w_resume_priority_ttl,
+}
+
+
+@pytest.fixture(scope="module")
+def e2e(spark, tmp_path_factory):
+    """Run all 11 independent crawl sequences concurrently; each test below
+    owns one future and re-raises its worker's failure (full traceback), so
+    a broken sequence fails ITS test, not the fixture."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=len(_WORKERS)) as ex:
+        futs = {
+            name: ex.submit(fn, spark, tmp_path_factory.mktemp(f"e2e_{name}"))
+            for name, fn in _WORKERS.items()
+        }
+    return futs
+
+
+def test_golden_crawl_visited_set_and_bfs_order(e2e):
+    e2e["golden"].result()
+
+
+def test_matcher_limits_crawl(e2e):
+    e2e["matcher"].result()
+
+
+def test_retry_and_dead_letter(e2e):
+    e2e["retry"].result()
+
+
+def test_synthetic_graph_full_coverage_and_resume(e2e):
+    e2e["synthetic"].result()
+
+
+def test_seen_compaction_and_state_expiry(e2e):
+    e2e["compaction"].result()
+
+
+def test_bucketed_state_backend_golden_and_resume(e2e):
+    e2e["bucketed_state"].result()
+
+
+def test_bucketed_pages_fetch_golden(e2e):
+    e2e["bucketed_pages"].result()
+
+
+def test_auto_backend_switch_midcrawl(e2e):
+    e2e["auto_switch"].result()
+
+
+def test_bucketed_seen_table_compaction(e2e):
+    e2e["bucketed_compaction"].result()
+
+
+def test_bucketed_both_crash_between_stage_and_commit(e2e):
+    e2e["crash_window"].result()
+
+
+def test_resume_with_priority_join_and_robots_ttl(e2e):
+    e2e["resume_priority_ttl"].result()

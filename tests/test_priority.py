@@ -1,5 +1,11 @@
-"""Priority queue policy (SURVEY §2.10: pluggable Queue — fifo vs priority)."""
+"""Priority queue policy (SURVEY §2.10: pluggable Queue — fifo vs priority).
 
+The five independent priority crawls run CONCURRENTLY in one Spark session
+(the contract-suite pattern); the zero-Exchange plan test stays SERIAL — it
+mutates global session conf (broadcast thresholds), an env flag, and
+process stdout, none of which are thread-safe to share."""
+
+import pytest
 from pyspark.sql import functions as F
 
 from ant_spark import schemas
@@ -7,7 +13,7 @@ from ant_spark.engine import CrawlConfig, Engine
 from ant_spark.sources.webgraph import example_site
 
 
-def test_priority_dequeue_order(spark):
+def _w_dequeue_order(spark):
     """With budget 1/round and priority = 'products first', products.html is
     fetched before about.html even though about was discovered first."""
     pages_pdf, robots_pdf, seeds = example_site()
@@ -38,7 +44,7 @@ def test_priority_dequeue_order(spark):
     }
 
 
-def test_pagerank_fed_priority_crawl(spark):
+def _w_pagerank_fed(spark):
     """The graph-signal composition end-to-end (graphops module promise):
     PageRank over the site's own link graph feeds rank_priority_fn;
     under a 1-fetch/round budget the high-rank hub (in-degree 3) and its
@@ -78,7 +84,7 @@ def test_pagerank_fed_priority_crawl(spark):
     assert order_fifo == ["/", "p1.html", "p2.html", "hub.html", "x.html"]
 
 
-def test_priority_join_table_matches_literal_map(spark):
+def _w_join_table(spark):
     """The frontier-scale composition: the SAME PageRank signal fed as a
     joined (url, priority) table (CrawlConfig.priority_join) reproduces the
     literal-map (rank_priority_fn) crawl order exactly — hub and its child
@@ -109,7 +115,7 @@ def test_priority_join_table_matches_literal_map(spark):
     assert order == ["/", "hub.html", "x.html", "p1.html", "p2.html"]
 
 
-def test_host_rank_priority_crawl(spark):
+def _w_host_rank(spark):
     """Host-level composition end-to-end: URL edges → host_edges rollup →
     weighted PageRank → rank_priority_fn(key_col='host') — under a global
     1-fetch/round budget the crawler prefers pages on the higher-ranked
@@ -166,7 +172,7 @@ def test_host_rank_priority_crawl(spark):
     ]
 
 
-def test_bulk_seed_duplicate_priorities_single_fetch(spark):
+def _w_bulk_seed(spark):
     """Round-5 ADVICE regression: the same seed URL arriving with two
     different priority hints (merged sitemap files are not deduped by
     sitemap_seeds) must enqueue ONCE, under the max (most-important)
@@ -258,3 +264,41 @@ def test_priority_join_bucketed_zero_exchange(spark, tmp_path):
     n_ex = [int(m) for m in re.findall(r"Exchanges=(\d+)", plans)]
     assert n_ex and all(x == 0 for x in n_ex), n_ex
     assert "_pj_hash" in plans and "SortMergeJoin LeftOuter" in plans
+
+
+_WORKERS = {
+    "dequeue_order": _w_dequeue_order,
+    "pagerank_fed": _w_pagerank_fed,
+    "join_table": _w_join_table,
+    "host_rank": _w_host_rank,
+    "bulk_seed": _w_bulk_seed,
+}
+
+
+@pytest.fixture(scope="module")
+def prio_runs(spark):
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=len(_WORKERS)) as ex:
+        futs = {n: ex.submit(fn, spark) for n, fn in _WORKERS.items()}
+    return futs
+
+
+def test_priority_dequeue_order(prio_runs):
+    prio_runs["dequeue_order"].result()
+
+
+def test_pagerank_fed_priority_crawl(prio_runs):
+    prio_runs["pagerank_fed"].result()
+
+
+def test_priority_join_table_matches_literal_map(prio_runs):
+    prio_runs["join_table"].result()
+
+
+def test_host_rank_priority_crawl(prio_runs):
+    prio_runs["host_rank"].result()
+
+
+def test_bulk_seed_duplicate_priorities_single_fetch(prio_runs):
+    prio_runs["bulk_seed"].result()
