@@ -1,4 +1,8 @@
-"""Multimodal plumbing (stubbed decode) + streaming ingest + sinks."""
+"""Multimodal plumbing (stubbed decode) + streaming ingest + sinks.
+
+All bodies are independent (distinct checkpoints, memory-sink names and
+tmp dirs) and run CONCURRENTLY in one Spark session (contract-suite
+pattern) — streaming availableNow drains interleave like any other jobs."""
 
 import pytest
 from pyspark.sql import functions as F
@@ -11,7 +15,7 @@ from ant_spark.operators.multimodal import (
 )
 
 
-def test_media_features_stub(spark):
+def _w_features_stub(spark, tmp_path):
     media = spark.createDataFrame(synth_media(30), schema=MEDIA)
     feats = extract_features(media, dim=4).collect()
     assert len(feats) == 30
@@ -21,7 +25,7 @@ def test_media_features_stub(spark):
         assert all(0.0 <= x <= 1.0 for x in r["feature"])
 
 
-def test_media_real_decoder_uncompressed_golden(spark):
+def _w_real_decoder(spark, tmp_path):
     """decoder='real' is EXECUTABLE on uncompressed formats via pure numpy:
     a binary PPM (P6) and a bottom-up 24-bit BMP with known pixels yield
     exact chunk-mean grayscale features through the full mapInPandas
@@ -75,7 +79,7 @@ def test_media_real_decoder_uncompressed_golden(spark):
     assert out[0]["feature"] == []
 
 
-def test_frame_sample_plan(spark):
+def _w_frame_plan(spark, tmp_path):
     media = spark.createDataFrame(synth_media(9), schema=MEDIA)
     plan = frame_sample_plan(media, every_ms=1000)
     rows = plan.collect()
@@ -84,7 +88,7 @@ def test_frame_sample_plan(spark):
     assert plan.select("media_id").distinct().count() == vids
 
 
-def test_streaming_extract_and_window(spark, tmp_path):
+def _w_extract_window(spark, tmp_path):
     from ant_spark import schemas
     from ant_spark.sources.webgraph import GraphConfig, generate
     from ant_spark.streaming.pipeline import stream_extract, stream_host_counts
@@ -112,7 +116,7 @@ def test_streaming_extract_and_window(spark, tmp_path):
     assert sum(counts.values()) == 60 and len(counts) == 3
 
 
-def test_jsonl_sink(spark, tmp_path):
+def _w_jsonl_sink(spark, tmp_path):
     from ant_spark.sinks import extracted_jsonl, write_jsonl
 
     ex = spark.createDataFrame(
@@ -128,7 +132,7 @@ def test_jsonl_sink(spark, tmp_path):
     assert len(files) == 1
 
 
-def test_stream_sessionize_stateful(spark, tmp_path):
+def _w_sessionize(spark, tmp_path):
     """applyInPandasWithState sessionizer: a host that goes quiet for longer
     than the gap gets its session emitted when the watermark passes the
     timeout; the still-open session stays in state (not emitted)."""
@@ -182,7 +186,7 @@ def test_stream_sessionize_stateful(spark, tmp_path):
     assert r["session_end"] == (base + dt.timedelta(minutes=5)).replace(tzinfo=None)
 
 
-def test_stream_sessionize_out_of_order_file(spark, tmp_path):
+def _w_sessionize_ooo(spark, tmp_path):
     """A later FILE can carry events far BEHIND the already-advanced
     watermark (out-of-order arrival). Setting a timeout at last+gap would
     then be rejected by the state store and kill the query — the sessionizer
@@ -236,7 +240,7 @@ def test_stream_sessionize_out_of_order_file(spark, tmp_path):
     ).replace(tzinfo=None)
 
 
-def test_resize_images_stub(spark):
+def _w_resize(spark, tmp_path):
     """Resize stage: real mapInPandas plumbing, fake block-average kernel —
     output payloads re-wrap the synthetic header with the new dims."""
     import struct
@@ -262,7 +266,7 @@ def test_resize_images_stub(spark):
     }
 
 
-def test_stream_url_dedupe(spark, tmp_path):
+def _w_url_dedupe(spark, tmp_path):
     """Streaming seen-set (dropDuplicatesWithinWatermark): duplicated URLs
     across micro-batches collapse to first occurrence; distinct URLs all
     survive; state is watermark-bounded."""
@@ -302,7 +306,7 @@ def test_stream_url_dedupe(spark, tmp_path):
     assert sorted(got) == sorted({r["url"] for r in rows})  # exactly-once
 
 
-def test_stream_curate_incremental(spark, tmp_path):
+def _w_curate_inc(spark, tmp_path):
     """Streaming curation over landing WARC segments: enrichment + lang/
     quality floor per micro-batch, exact-fingerprint dedupe across
     segments within the watermark (a re-crawled page curates once), and
@@ -362,7 +366,7 @@ def test_stream_curate_incremental(spark, tmp_path):
     assert set(got) == {"http://s.test/a", "http://s.test/d"}  # mirror deduped
 
 
-def test_stream_curate_malformed_date_uses_segment_mtime(spark, tmp_path):
+def _w_curate_mtime(spark, tmp_path):
     """Round-5 ADVICE regression: a record whose WARC-Date failed to parse
     (NULL warc_ts from the lenient reader) must still be curated — its
     event time falls back to the segment file's mtime instead of the row
@@ -400,7 +404,7 @@ def test_stream_curate_malformed_date_uses_segment_mtime(spark, tmp_path):
     assert got["http://m.test/bad-date"]["lang_id"] == "en"
 
 
-def test_lambda_stream_delta_plus_batch_sweep(spark, tmp_path):
+def _w_lambda_split(spark, tmp_path):
     """The documented lambda split, end-to-end: the STREAM curates landed
     segments with watermark-bounded exact dedupe (state never outgrows the
     horizon); an exact re-crawl BEYOND the horizon lands again and is
@@ -483,3 +487,79 @@ def test_lambda_stream_delta_plus_batch_sweep(spark, tmp_path):
         "http://s.test/e"}  # nearb clustered with b, representative kept
     st = {r["stage"]: r["n"] for r in stats.collect()}
     assert st["exact_unique"] == 5 and st["kept"] == 4  # one near-dup dropped
+
+
+_WORKERS = {
+    "features_stub": _w_features_stub,
+    "real_decoder": _w_real_decoder,
+    "frame_plan": _w_frame_plan,
+    "extract_window": _w_extract_window,
+    "jsonl_sink": _w_jsonl_sink,
+    "sessionize": _w_sessionize,
+    "sessionize_ooo": _w_sessionize_ooo,
+    "resize": _w_resize,
+    "url_dedupe": _w_url_dedupe,
+    "curate_inc": _w_curate_inc,
+    "curate_mtime": _w_curate_mtime,
+    "lambda_split": _w_lambda_split,
+}
+
+
+@pytest.fixture(scope="module")
+def mm_runs(spark, tmp_path_factory):
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=len(_WORKERS)) as ex:
+        futs = {
+            n: ex.submit(fn, spark, tmp_path_factory.mktemp(f"mm_{n}"))
+            for n, fn in _WORKERS.items()
+        }
+    return futs
+
+
+def test_media_features_stub(mm_runs):
+    mm_runs["features_stub"].result()
+
+
+def test_media_real_decoder_uncompressed_golden(mm_runs):
+    mm_runs["real_decoder"].result()
+
+
+def test_frame_sample_plan(mm_runs):
+    mm_runs["frame_plan"].result()
+
+
+def test_streaming_extract_and_window(mm_runs):
+    mm_runs["extract_window"].result()
+
+
+def test_jsonl_sink(mm_runs):
+    mm_runs["jsonl_sink"].result()
+
+
+def test_stream_sessionize_stateful(mm_runs):
+    mm_runs["sessionize"].result()
+
+
+def test_stream_sessionize_out_of_order_file(mm_runs):
+    mm_runs["sessionize_ooo"].result()
+
+
+def test_resize_images_stub(mm_runs):
+    mm_runs["resize"].result()
+
+
+def test_stream_url_dedupe(mm_runs):
+    mm_runs["url_dedupe"].result()
+
+
+def test_stream_curate_incremental(mm_runs):
+    mm_runs["curate_inc"].result()
+
+
+def test_stream_curate_malformed_date_uses_segment_mtime(mm_runs):
+    mm_runs["curate_mtime"].result()
+
+
+def test_lambda_stream_delta_plus_batch_sweep(mm_runs):
+    mm_runs["lambda_split"].result()

@@ -32,7 +32,7 @@ def test_cdp_renderer_marks_real_boundary():
         cdp_renderer(b"<html></html>")
 
 
-def test_render_seam_changes_crawl_frontier(spark):
+def _w_render_seam(spark):
     """The semantics the reference's CDP client exists for: a link present
     only after JS execution is crawled WITH the renderer and missed
     WITHOUT it."""
@@ -62,7 +62,7 @@ def test_render_seam_changes_crawl_frontier(spark):
     assert "document.write" not in seed_text
 
 
-def test_render_when_gates_per_row(spark):
+def _w_render_when(spark):
     """render_when restricts the kernel to matching rows — here a
     never-true predicate, so the JS link stays undiscovered even with a
     renderer configured (the per-row generalization of the reference's
@@ -80,3 +80,21 @@ def test_render_when_gates_per_row(spark):
     ).run(seeds)
     urls = {r["url"] for r in res.fetched_log.collect()}
     assert "http://js.example.com/js-only.html" not in urls
+
+
+@pytest.fixture(scope="module")
+def render_runs(spark):
+    from concurrent.futures import ThreadPoolExecutor
+
+    works = {"seam": _w_render_seam, "when": _w_render_when}
+    with ThreadPoolExecutor(max_workers=len(works)) as ex:
+        futs = {n: ex.submit(fn, spark) for n, fn in works.items()}
+    return futs
+
+
+def test_render_seam_changes_crawl_frontier(render_runs):
+    render_runs["seam"].result()
+
+
+def test_render_when_gates_per_row(render_runs):
+    render_runs["when"].result()

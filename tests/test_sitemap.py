@@ -1,4 +1,7 @@
-"""Sitemap seed source: XML parsing, index handling, engine composition."""
+"""Sitemap seed source: XML parsing, index handling, engine composition.
+
+The two sitemap-fed e2e crawls run CONCURRENTLY in one Spark session
+(contract-suite pattern)."""
 
 import gzip
 
@@ -47,7 +50,7 @@ def test_parse_sitemap_lenient():
     assert rec["kind"] == "sitemap"
 
 
-def test_sitemap_seeded_crawl(spark, tmp_path):
+def _w_seeded_crawl(spark, tmp_path):
     """Bulk-seed composition: read_sitemap → sitemap_seeds (url, priority)
     → Engine.run under queue_policy='priority' with a 1-fetch/round host
     budget — fetch ROUNDS follow the site's own <priority> hints (0.9 /,
@@ -79,7 +82,7 @@ def test_sitemap_seeded_crawl(spark, tmp_path):
     assert len(set(order)) == len(order)  # exactly-once
 
 
-def test_crawl_sitemaps_two_level_tree(spark, tmp_path):
+def _w_two_level_tree(spark, tmp_path):
     """Sitemap-index recursion as a first-class helper: a gzipped
     sitemapindex pointing at two child urlsets (one gzipped, one plain,
     one loc with a file:// scheme) reads as ONE DataFrame of url entries;
@@ -129,3 +132,24 @@ def test_crawl_sitemaps_two_level_tree(spark, tmp_path):
              for r in res.fetched_log.orderBy("round").collect()]
     assert order[:3] == ["/", "products.html", "about.html"]
     assert len(set(order)) == len(order)
+
+
+@pytest.fixture(scope="module")
+def sm_runs(spark, tmp_path_factory):
+    from concurrent.futures import ThreadPoolExecutor
+
+    works = {"seeded_crawl": _w_seeded_crawl, "two_level_tree": _w_two_level_tree}
+    with ThreadPoolExecutor(max_workers=len(works)) as ex:
+        futs = {
+            n: ex.submit(fn, spark, tmp_path_factory.mktemp(f"sm_{n}"))
+            for n, fn in works.items()
+        }
+    return futs
+
+
+def test_sitemap_seeded_crawl(sm_runs):
+    sm_runs["seeded_crawl"].result()
+
+
+def test_crawl_sitemaps_two_level_tree(sm_runs):
+    sm_runs["two_level_tree"].result()

@@ -1,4 +1,8 @@
-"""WARC source/sink: round-trip fidelity + crawling straight off a WARC."""
+"""WARC source/sink: round-trip fidelity + crawling straight off a WARC.
+
+The Spark-heavy bodies (two e2e crawls, the distributed sink round-trips,
+the streaming ingest) run CONCURRENTLY in one session (contract-suite
+pattern); pure-python parser tests stay plain."""
 
 import pytest
 
@@ -36,7 +40,7 @@ def test_warc_roundtrip_bytes(warc_file):
         assert rec["warc_date"].startswith("2025-01-01T")
 
 
-def test_read_warc_spark_source(spark, warc_file):
+def _w_read_source(spark, tmp, warc_file):
     path, pages_pdf = warc_file
     df = read_warc(spark, path)
     rows = {r["url"]: r for r in df.collect()}
@@ -48,7 +52,7 @@ def test_read_warc_spark_source(spark, warc_file):
         assert got["warc_ts"] == row["warc_ts"].replace(tzinfo=None)
 
 
-def test_crawl_from_warc(spark, warc_file):
+def _w_crawl(spark, tmp, warc_file):
     """The offline-CC workflow end-to-end: WARC → pages table → the same
     golden crawl output as the in-memory fixture (robots-denied page and
     all: the robots dim still comes from its own table)."""
@@ -103,7 +107,7 @@ def test_parse_warc_malformed_records():
     assert rec["url"] == "http://s/" and rec["status"] is None
 
 
-def test_read_warc_malformed_date(spark, tmp_path):
+def _w_malformed_date(spark, tmp_path, warc_file):
     """A malformed WARC-Date yields a NULL warc_ts row, not a task kill."""
     from ant_spark.sources.warc import _record_bytes
 
@@ -115,7 +119,7 @@ def test_read_warc_malformed_date(spark, tmp_path):
     assert bytes(row["html"]) == b"<p>d</p>"
 
 
-def test_write_warc_distributed_roundtrip(spark, tmp_path):
+def _w_dist_roundtrip(spark, tmp_path, warc_file):
     """Production sink: foreachPartition part-files + MANIFEST; read_warc
     over the part glob recovers every record byte-identically."""
     import json
@@ -140,19 +144,17 @@ def test_write_warc_distributed_roundtrip(spark, tmp_path):
         assert got["warc_ts"] == row["warc_ts"].replace(tzinfo=None)
 
 
-def test_crawl_tag_soup_from_warc(spark):
+def _w_tag_soup(spark, tmp, warc_file):
     """Real-web hardening e2e: a WARC whose pages are all out-of-subset
     HTML5 (foster-parented links, RAWTEXT fake links, plaintext, CDATA) —
     the crawl must follow exactly the real links (fostered link FIRST, per
     foster-parented DOM order), never the raw-text decoys, and the logged
     extracted text must byte-match the fixture's reference text."""
-    import tempfile
-
     from ant_spark.sources.warc import write_warc
     from ant_spark.sources.webgraph import example_soup_site
 
     pages_pdf, _, seeds = example_soup_site()
-    path = tempfile.mktemp(suffix=".warc.gz", prefix="ant_soup_")
+    path = str(tmp / "soup.warc.gz")
     write_warc(pages_pdf.to_dict("records"), path, compress=True)
     pages = warc_to_pages(read_warc(spark, path))
     res = Engine(
@@ -171,7 +173,7 @@ def test_crawl_tag_soup_from_warc(spark):
     assert res.metrics  # crawl produced lineage counters
 
 
-def test_stream_warc_incremental(spark, tmp_path):
+def _w_stream_incremental(spark, tmp_path, warc_file):
     """Streaming WARC ingest: segments dropped into a directory are parsed
     exactly once per micro-batch; a second availableNow pass over the same
     checkpoint picks up ONLY the newly landed segment."""
@@ -212,7 +214,7 @@ def test_stream_warc_incremental(spark, tmp_path):
         assert got[row["url"]] == len(row["html"])
 
 
-def test_write_warc_distributed_null_ts_and_fresh_dir_guard(spark, tmp_path):
+def _w_dist_null_ts(spark, tmp_path, warc_file):
     """Round-5 ADVICE regression: NULL warc_ts rows (the lenient reader
     emits those for malformed WARC-Date) are written with the epoch
     sentinel instead of crashing the task; a second write into the same
@@ -240,3 +242,54 @@ def test_write_warc_distributed_null_ts_and_fresh_dir_guard(spark, tmp_path):
     assert back["http://n.test/ok"]["warc_ts"] == dt.datetime(2025, 1, 1)
     with pytest.raises(ValueError, match="refusing"):
         write_warc_distributed(df, out)
+
+
+_WORKERS = {
+    "read_source": _w_read_source,
+    "crawl": _w_crawl,
+    "malformed_date": _w_malformed_date,
+    "dist_roundtrip": _w_dist_roundtrip,
+    "tag_soup": _w_tag_soup,
+    "stream_incremental": _w_stream_incremental,
+    "dist_null_ts": _w_dist_null_ts,
+}
+
+
+@pytest.fixture(scope="module")
+def warc_runs(spark, warc_file, tmp_path_factory):
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=len(_WORKERS)) as ex:
+        futs = {
+            n: ex.submit(fn, spark, tmp_path_factory.mktemp(f"warc_{n}"), warc_file)
+            for n, fn in _WORKERS.items()
+        }
+    return futs
+
+
+def test_read_warc_spark_source(warc_runs):
+    warc_runs["read_source"].result()
+
+
+def test_crawl_from_warc(warc_runs):
+    warc_runs["crawl"].result()
+
+
+def test_read_warc_malformed_date(warc_runs):
+    warc_runs["malformed_date"].result()
+
+
+def test_write_warc_distributed_roundtrip(warc_runs):
+    warc_runs["dist_roundtrip"].result()
+
+
+def test_crawl_tag_soup_from_warc(warc_runs):
+    warc_runs["tag_soup"].result()
+
+
+def test_stream_warc_incremental(warc_runs):
+    warc_runs["stream_incremental"].result()
+
+
+def test_write_warc_distributed_null_ts_and_fresh_dir_guard(warc_runs):
+    warc_runs["dist_null_ts"].result()
