@@ -25,10 +25,11 @@ formatting elements list with full reconstruction + the adoption agency
 algorithm (misnested ``<b><i></b></i>`` re-parents exactly as x/net/html
 does, implicitly-closed formatting re-opens before later content — re-run
 ``<a href>`` clones re-emit their link), and implied tbody/tr synthesis
-(``<table><td>`` yields the table>tbody>tr>td selector path). It is NOT a
-full HTML5 parser — the one known residual gap vs x/net/html, rare on real
-pages: a stray ``</plaintext>`` resumes parsing where the spec stays in
-PLAINTEXT to EOF. The synthetic corpus generator
+(``<table><td>`` yields the table>tbody>tr>td selector path), and
+PLAINTEXT-to-EOF (a stray ``</plaintext>`` is character data — the HTML5
+tokenizer has no exit from the PLAINTEXT state). It is NOT a full HTML5
+parser, but no known divergence from x/net/html remains on the covered
+construct set. The synthetic corpus generator
 (ant_spark.sources.webgraph) emits HTML inside this subset; golden tests pin
 the fixture pages' extracted text, and a tag-soup differential fuzz pins
 stream/DOM agreement over the widened alphabet.
@@ -63,8 +64,6 @@ HEAD_ELEMENTS = frozenset("title meta link base style script noscript".split())
 # everything up to the matching end tag is TEXT — tags inside contribute no
 # elements and no links, exactly as x/net/html tokenizes them (scripting
 # enabled, the reference's html.Parse default, makes noscript RAWTEXT too).
-# Subset note: after a stray explicit </plaintext> we resume parsing where
-# the spec would stay in PLAINTEXT to EOF — real pages don't close it.
 RAWTEXT_ELEMENTS = frozenset(
     "script style textarea title xmp iframe noembed noframes noscript "
     "plaintext".split()
@@ -573,6 +572,16 @@ class _DomParser(HTMLParser):
             self._current().append(Node(TEXT, data=decl[6:]))
         else:
             self._current().append(Node(COMMENT, data=decl))
+
+    def set_cdata_mode(self, elem):
+        """PLAINTEXT runs to EOF: the HTML5 tokenizer has no way out of the
+        PLAINTEXT state, so a stray ``</plaintext>`` is character data, not
+        an end tag (x/net/html agrees). html.parser's cdata mode ends at the
+        matching close tag — defuse its scan pattern for this one element."""
+        HTMLParser.set_cdata_mode(self, elem)  # not super(): this method
+        # is shared by _StreamExtractor via class-attribute assignment
+        if elem.lower() == "plaintext":
+            self.interesting = re.compile(r"(?!)")  # never matches
 
     def flush_cdata_eof(self) -> None:
         """EOF inside a raw-text element (unclosed <plaintext>/<xmp>/…):
@@ -1141,6 +1150,7 @@ class _StreamExtractor(HTMLParser):
             self._current_sink()[0].append(decl[6:])
 
     flush_cdata_eof = _DomParser.flush_cdata_eof
+    set_cdata_mode = _DomParser.set_cdata_mode
 
     def finish(self) -> None:
         """EOF: flush unclosed cdata text and tables, settle title."""

@@ -121,6 +121,10 @@ def test_html5_tag_soup_goldens():
         # plaintext swallows everything to EOF (no end tag needed)
         ("pre<plaintext><a href='gone'>x</a><table>",
          "pre<a href='gone'>x</a><table>", []),
+        # a stray </plaintext> is character data — the HTML5 tokenizer has
+        # no exit from PLAINTEXT, so parsing must NOT resume after it
+        ("a<plaintext>x</plaintext><a href='q'>q</a>",
+         "ax</plaintext><a href='q'>q</a>", []),
         # RCDATA decodes entities; RAWTEXT keeps them raw
         ("<textarea>a &amp; b</textarea><script>c &amp; d</script>",
          "a & bc &amp; d", []),
