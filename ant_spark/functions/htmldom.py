@@ -595,10 +595,14 @@ def parse(html: str | bytes) -> Node:
     """Parse HTML into a document node (reference page.go:61-69 analogue).
 
     Always succeeds on any input (like x/net/html, which is error-tolerant);
-    bytes are decoded as UTF-8 with replacement.
+    bytes go through WHATWG encoding sniffing (BOM / meta prescan /
+    UTF-8-trial / windows-1252 — functions.encoding) and decode with
+    replacement, so one mangled page never kills a task.
     """
     if isinstance(html, (bytes, bytearray, memoryview)):
-        html = bytes(html).decode("utf-8", errors="replace")
+        from ant_spark.functions.encoding import decode_html
+
+        html = decode_html(html)
     p = _DomParser()
     p.feed(html)
     p.close()
@@ -1164,7 +1168,9 @@ class _StreamExtractor(HTMLParser):
 def stream_extract(html: str | bytes) -> tuple[str, list[str], str]:
     """One streaming pass → (text, hrefs, title); no DOM allocated."""
     if isinstance(html, (bytes, bytearray, memoryview)):
-        html = bytes(html).decode("utf-8", errors="replace")
+        from ant_spark.functions.encoding import decode_html
+
+        html = decode_html(html)
     p = _StreamExtractor()
     p.feed(html)
     p.close()

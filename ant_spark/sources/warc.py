@@ -64,6 +64,10 @@ WARC_RECORDS = StructType(
         StructField("status", IntegerType(), True),
         StructField("html", BinaryType(), True),
         StructField("n_bytes", LongType(), True),
+        # HTTP Content-Type of the response — the TRANSPORT layer of the
+        # WHATWG charset sniff (functions/encoding.py): pass it to
+        # decode_html(html, transport=content_type) when decoding bodies.
+        StructField("content_type", StringType(), True),
     ]
 )
 
@@ -78,11 +82,12 @@ WARC_STREAM_RECORDS = StructType(
 _CRLF = b"\r\n"
 
 
-def _record_bytes(url: str, ts_iso: str, status: int, html: bytes) -> bytes:
+def _record_bytes(url: str, ts_iso: str, status: int, html: bytes,
+                  content_type: str = "text/html") -> bytes:
     """One WARC/1.0 response record (http payload framed per ISO 28500)."""
     http = (
         f"HTTP/1.1 {status} OK\r\n"
-        f"Content-Type: text/html\r\n"
+        f"Content-Type: {content_type}\r\n"
         f"Content-Length: {len(html)}\r\n\r\n"
     ).encode() + html
     headers = (
@@ -238,21 +243,29 @@ def parse_warc_bytes(buf: bytes) -> Iterator[dict]:
         if headers.get("warc-type") != "response":
             continue
         status = None
+        content_type = None
         body = payload
         if payload[:5] == b"HTTP/":
             pe = payload.find(b"\r\n\r\n")
             if pe >= 0:
-                status_line = payload[: payload.find(_CRLF)].decode("latin-1")
+                http_head = payload[:pe].split(_CRLF)
+                status_line = http_head[0].decode("latin-1")
                 parts = status_line.split(" ")
                 try:
                     status = int(parts[1]) if len(parts) > 1 else None
                 except ValueError:
                     status = None
+                for line in http_head[1:]:
+                    k, _, v = line.partition(b":")
+                    if k.strip().lower() == b"content-type":
+                        content_type = v.strip().decode("latin-1")
+                        break
                 body = payload[pe + 4 :]
         yield {
             "url": headers.get("warc-target-uri"),
             "warc_date": headers.get("warc-date"),
             "status": status,
+            "content_type": content_type,
             "html": body,
         }
 
@@ -287,10 +300,15 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
                             "status": rec["status"],
                             "html": rec["html"],
                             "n_bytes": len(rec["html"]),
+                            "content_type": rec["content_type"],
                         }
                     )
             yield pd.DataFrame(
-                out, columns=["url", "warc_ts", "status", "html", "n_bytes"]
+                out,
+                columns=[
+                    "url", "warc_ts", "status", "html", "n_bytes",
+                    "content_type",
+                ],
             )
 
     return files.mapInPandas(fn, WARC_RECORDS)
@@ -363,6 +381,7 @@ def stream_warc(spark: SparkSession, path: str) -> DataFrame:
                             "status": rec["status"],
                             "html": rec["html"],
                             "n_bytes": len(rec["html"]),
+                            "content_type": rec["content_type"],
                             "segment_mtime": naive(mtime),
                         }
                     )
@@ -370,7 +389,7 @@ def stream_warc(spark: SparkSession, path: str) -> DataFrame:
                 out,
                 columns=[
                     "url", "warc_ts", "status", "html", "n_bytes",
-                    "segment_mtime",
+                    "content_type", "segment_mtime",
                 ],
             )
 
