@@ -1174,6 +1174,53 @@ def _q_media_features_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_features(media, dim=4, decoder="real")
 
 
+def _q_crawl_redirects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTTP redirect following e2e (operators/redirects.py — Go http.Client
+    semantics, ant.go:36): a 301 with a relative Location collapses to the
+    final page under the REQUESTED url, relative links on the landing page
+    resolve against final_url, and the landing url enters the seen set so a
+    later direct link is not refetched. Deterministic BFS output pinned as
+    a VALUES oracle."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from ant_spark import schemas
+    from ant_spark.engine import CrawlConfig, Engine
+
+    base = dt.datetime(2025, 1, 1, tzinfo=dt.timezone.utc)
+
+    def page(url, html, status=200, redirect_to=None):
+        return {"url": url, "warc_ts": base, "html": html.encode(),
+                "text": "", "lang": "en", "status": status,
+                "ok_after_attempt": None, "redirect_to": redirect_to}
+
+    rows = [
+        page("http://s.test/", '<body><a href="/old.html">o</a>'
+                               '<a href="/later.html">l</a></body>'),
+        page("http://s.test/old.html", "", 301, redirect_to="/new.html"),
+        page("http://s.test/new.html",
+             '<body>NEW<a href="deep.html">d</a></body>'),
+        page("http://s.test/later.html",
+             '<body><a href="/new.html">n</a></body>'),
+        page("http://s.test/deep.html", "<body>DEEP</body>"),
+    ]
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    # copy, not .add(): StructType.add mutates the shared schema in place
+    pages_schema = StructType(
+        list(schemas.PAGES.fields)
+        + [StructField("redirect_to", StringType(), True)]
+    )
+    pages = spark.createDataFrame(pd.DataFrame(rows), schema=pages_schema)
+    res = Engine(
+        spark, pages, None, CrawlConfig(max_rounds=8, ordering="bfs")
+    ).run(["http://s.test/"])
+    return res.fetched_log.select(
+        "seq", "url", "status", "final_url", "text"
+    ).orderBy("seq")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Query registry. ORDER MATTERS: the driver's correctness gate reads
     only the FIRST 50 entries, so positions 1-50 hold the canonical
@@ -1210,6 +1257,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_sitemap_seeds": _q_sitemap_source,
         "crawl_robots_ttl": _q_robots_ttl,
         "crawl_to_training": _q_crawl_to_training,
+        "crawl_redirects": _q_crawl_redirects,
         "media_features_real": _q_media_features_real,
         "media_frame_plan": _q_media_frame_plan,
         # training-data text ops
@@ -2399,6 +2447,21 @@ def oracle_sql() -> dict[str, str]:
               (4, 'http://example.com/a.html', 200, 0),
               (5, 'http://example.com/b.html', 200, 0)
             ) AS t(seq, url, status, n_links)
+        """,
+        # crawl_redirects: deterministic redirect-following crawl — the 301
+        # url logs the FINAL page's content (Go http.Client follow), the
+        # landing page's relative link resolves against final_url, and the
+        # directly-linked landing url is NOT refetched (redirect_seen).
+        "crawl_redirects": """
+            SELECT seq::BIGINT AS seq, url, status::INT AS status,
+                   final_url, text
+            FROM (VALUES
+              (0, 'http://s.test/', 200, NULL, 'ol'),
+              (1, 'http://s.test/old.html', 200,
+               'http://s.test/new.html', 'NEWd'),
+              (2, 'http://s.test/later.html', 200, NULL, 'n'),
+              (3, 'http://s.test/deep.html', 200, NULL, 'DEEP')
+            ) AS t(seq, url, status, final_url, text)
         """,
         # crawl_priority_order: deterministic rank-ordered crawl of the hub
         # site — bfs seq pins discovery order (/, p1, p2, hub, x = 0..4)

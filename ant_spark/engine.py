@@ -88,6 +88,18 @@ class CrawlConfig:
     max_attempts: int = 5  # fetcher.go:100-104 default
     min_backoff_ms: int = 50  # fetcher.go minBackoff
     max_backoff_ms: int = 1000  # fetcher.go maxBackoff
+    # HTTP redirects (Go http.Client follow semantics, operators/redirects):
+    # when the pages table carries a ``redirect_to`` column, 3xx chains are
+    # collapsed ONCE per crawl (pre-resolved at staging time in
+    # create_pages_table's bucketed mode) so the fetch join yields the
+    # FINAL page under the requested url; links resolve against final_url.
+    # max_redirects mirrors Go's 10-hop cap (excess/cycles → 508, permanent);
+    # redirect_seen=True additionally enters final urls into the seen set so
+    # a later direct link to the target is not refetched (the reference,
+    # which never sees intermediate hops, would refetch — documented
+    # divergence in PARITY.md; set False for byte parity).
+    max_redirects: int = 10
+    redirect_seen: bool = True
     max_rounds: int | None = None
     max_depth: int | None = None
     # exact | bloom_prefilter | bloom_drop | cuckoo_prefilter | cuckoo_drop
@@ -295,7 +307,16 @@ class Engine:
         idiom as the seen/links staging tables). One-time cost; every fetch
         join afterwards reads the html-bearing side in place with no
         Exchange. Pass the table name as ``CrawlConfig.pages_table`` with
-        ``fetch_buckets=buckets``."""
+        ``fetch_buckets=buckets``.
+
+        A ``redirect_to`` column is collapsed HERE (operators/redirects):
+        the stored table already carries final-page content + final_url, so
+        the per-round fetch join stays a pure storage-partitioned SMJ —
+        redirect chasing never touches the hot path."""
+        if "redirect_to" in pages_df.columns:
+            from ant_spark.operators.redirects import resolve_redirects
+
+            pages_df = resolve_redirects(pages_df)
         spark.sql(f"DROP TABLE IF EXISTS {name}")
         (
             pages_df.write.mode("overwrite")
@@ -649,13 +670,24 @@ class Engine:
             pages_src = fresh_only(
                 pages_src, F.lit(cfg.crawl_ts), cfg.max_age_seconds
             )
-        pages = pages_src.select(
+        if "redirect_to" in pages_src.columns and cfg.max_redirects > 0:
+            # collapse 3xx chains once per crawl (Go http.Client follow);
+            # create_pages_table pre-resolves at staging time, so the
+            # bucketed path arrives here already carrying final_url.
+            from ant_spark.operators.redirects import resolve_redirects
+
+            pages_src = resolve_redirects(pages_src, cfg.max_redirects)
+        has_redirects = "final_url" in pages_src.columns
+        page_cols = [
             F.col("url").alias("_p_url"),
             "warc_ts",
             "html",
             F.col("status").alias("_p_status"),
             "ok_after_attempt",
-        )
+        ]
+        if has_redirects:
+            page_cols.append(F.col("final_url").alias("_p_final_url"))
+        pages = pages_src.select(*page_cols)
         # NOTE on the fetch join's pages side: no engine-side repartition or
         # cache — measured slower here. Default mode: AQE broadcasts the
         # (small) frontier side, so the html-heavy page corpus is streamed
@@ -1008,9 +1040,17 @@ class Engine:
                     )
                 else:
                     html_in = rendered
+            # relative links on a redirected page resolve against the FINAL
+            # url (Go: req.URL is rewritten per hop before html.Parse sees
+            # the body).
+            parse_base = (
+                F.coalesce(F.col("_p_final_url"), F.col("url"))
+                if has_redirects
+                else F.col("url")
+            )
             processed = (
                 fetched.withColumn("status_eff", status_eff)
-                .withColumn("parsed", self._parse_udf(F.col("url"), html_in))
+                .withColumn("parsed", self._parse_udf(parse_base, html_in))
                 .drop("html", "_p_url", "_p_status", "ok_after_attempt")
             )
             obs_proc = Observation() if observe else None
@@ -1018,14 +1058,18 @@ class Engine:
                 _se = F.col("status_eff")
                 _temp = _se.isin(503, 504, 429)
                 _n1 = lambda c: F.sum(F.when(c, 1).otherwise(0))  # noqa: E731
-                processed = processed.observe(
-                    obs_proc,
+                obs_cols = [
                     _n1(_se == 200).alias("fetched"),
                     _n1(_se == 404).alias("missing_404"),
                     _n1(_temp & (F.col("attempt") + 1 <= cfg.max_attempts)).alias("retried"),
                     _n1(_temp & (F.col("attempt") + 1 > cfg.max_attempts)).alias("dead_letter"),
                     _n1((_se >= 400) & ~_se.isin(404, 503, 504, 429)).alias("perm_error"),
-                )
+                ]
+                if has_redirects:
+                    obs_cols.append(
+                        _n1(F.col("_p_final_url").isNotNull()).alias("redirected")
+                    )
+                processed = processed.observe(obs_proc, *obs_cols)
             processed = processed.persist()
 
             ok = processed.filter(F.col("status_eff") == 200)
@@ -1047,7 +1091,23 @@ class Engine:
 
             parsed = ok  # 200s already carry the fused-parse struct
 
-            log_df = parsed.select(
+            # redirect landing set (dim-sized, from the cached `processed`):
+            # these urls are already-logged content — they join the seen
+            # delta AND filter the SAME round's link discoveries (a page
+            # fetched this round may link the landing url directly).
+            redirect_finals = None
+            if has_redirects and cfg.redirect_seen:
+                redirect_finals = (
+                    parsed.filter(
+                        F.col("_p_final_url").isNotNull()
+                        & (F.col("_p_final_url") != F.col("url"))
+                    )
+                    .select(F.col("_p_final_url").alias("url"))
+                    .distinct()
+                    .select(url_hash(F.col("url")).alias("url_hash"), "url")
+                )
+
+            log_cols = [
                 "url", "url_hash", "host", "depth", "seq",
                 F.lit(r).alias("round"),
                 F.col("status_eff").alias("status"),
@@ -1055,7 +1115,10 @@ class Engine:
                 F.size("parsed.links").alias("n_links"),
                 F.col("parsed.text").alias("text"),
                 F.lit("en").alias("lang"),
-            )
+            ]
+            if has_redirects:
+                log_cols.append(F.col("_p_final_url").alias("final_url"))
+            log_df = parsed.select(*log_cols)
             if cfg.scrape_spec:
                 extracted_df = parsed.select(
                     "url", "seq", F.lit(r).alias("round"),
@@ -1144,6 +1207,14 @@ class Engine:
                     sure_new = links_t.filter(~F.coalesce(F.col("maybe_seen"), F.lit(False))).drop("maybe_seen")
                     maybe = links_t.filter(F.coalesce(F.col("maybe_seen"), F.lit(False))).drop("maybe_seen")
                     new_links = sure_new.unionByName(exact_new(maybe, seen))
+
+            if redirect_finals is not None:
+                # same-round discovery of a landing url: already logged
+                # under the original url — drop before seq assignment
+                new_links = new_links.join(
+                    F.broadcast(redirect_finals), ["url_hash", "url"],
+                    "left_anti",
+                )
 
             # deterministic seq assignment --------------------------------
             if cfg.ordering == "bfs":
@@ -1270,6 +1341,15 @@ class Engine:
             seen_delta = new_rows.select(
                 "url_hash", "url", F.lit(r + 1).alias("round")
             )
+            if redirect_finals is not None:
+                # the chain's landing url becomes seen too: a later direct
+                # link to it is the same content the log already carries
+                # under the original url. (Prevents FUTURE enqueues only —
+                # a landing url already sitting in the frontier still
+                # fetches; same guarantee window as any enqueue-time dedupe.)
+                seen_delta = seen_delta.unionByName(
+                    redirect_finals.withColumn("round", F.lit(r + 1))
+                )
 
             from concurrent.futures import ThreadPoolExecutor
 
@@ -1313,6 +1393,13 @@ class Engine:
                     .unionByName(_st(perm_fail, "perm_error"))
                     .unionByName(_st(new_rows, "enqueued"))
                 )
+                if has_redirects:
+                    stage_counts = stage_counts.unionByName(
+                        _st(
+                            parsed.filter(F.col("_p_final_url").isNotNull()),
+                            "redirected",
+                        )
+                    )
                 with ThreadPoolExecutor(max_workers=4) as pool:
                     f_log = pool.submit(_w_log)
                     f_frontier = pool.submit(_w_frontier)

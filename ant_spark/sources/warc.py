@@ -68,6 +68,9 @@ WARC_RECORDS = StructType(
         # WHATWG charset sniff (functions/encoding.py): pass it to
         # decode_html(html, transport=content_type) when decoding bodies.
         StructField("content_type", StringType(), True),
+        # Location header of a 3xx response — feeds the redirect-chain
+        # collapse (operators/redirects.py) via warc_to_pages.
+        StructField("redirect_to", StringType(), True),
     ]
 )
 
@@ -83,11 +86,13 @@ _CRLF = b"\r\n"
 
 
 def _record_bytes(url: str, ts_iso: str, status: int, html: bytes,
-                  content_type: str = "text/html") -> bytes:
+                  content_type: str = "text/html",
+                  location: str | None = None) -> bytes:
     """One WARC/1.0 response record (http payload framed per ISO 28500)."""
+    loc_hdr = f"Location: {location}\r\n" if location else ""
     http = (
         f"HTTP/1.1 {status} OK\r\n"
-        f"Content-Type: {content_type}\r\n"
+        f"Content-Type: {content_type}\r\n{loc_hdr}"
         f"Content-Length: {len(html)}\r\n\r\n"
     ).encode() + html
     headers = (
@@ -244,6 +249,7 @@ def parse_warc_bytes(buf: bytes) -> Iterator[dict]:
             continue
         status = None
         content_type = None
+        location = None
         body = payload
         if payload[:5] == b"HTTP/":
             pe = payload.find(b"\r\n\r\n")
@@ -257,15 +263,18 @@ def parse_warc_bytes(buf: bytes) -> Iterator[dict]:
                     status = None
                 for line in http_head[1:]:
                     k, _, v = line.partition(b":")
-                    if k.strip().lower() == b"content-type":
+                    key = k.strip().lower()
+                    if key == b"content-type" and content_type is None:
                         content_type = v.strip().decode("latin-1")
-                        break
+                    elif key == b"location" and location is None:
+                        location = v.strip().decode("latin-1")
                 body = payload[pe + 4 :]
         yield {
             "url": headers.get("warc-target-uri"),
             "warc_date": headers.get("warc-date"),
             "status": status,
             "content_type": content_type,
+            "redirect_to": location,
             "html": body,
         }
 
@@ -301,13 +310,14 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
                             "html": rec["html"],
                             "n_bytes": len(rec["html"]),
                             "content_type": rec["content_type"],
+                            "redirect_to": rec["redirect_to"],
                         }
                     )
             yield pd.DataFrame(
                 out,
                 columns=[
                     "url", "warc_ts", "status", "html", "n_bytes",
-                    "content_type",
+                    "content_type", "redirect_to",
                 ],
             )
 
@@ -316,16 +326,21 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
 
 def warc_to_pages(df: DataFrame) -> DataFrame:
     """Adapt WARC records to the engine's pages-table shape (schemas.PAGES):
-    the fetch join needs (url, warc_ts, html, status, ok_after_attempt)."""
-    return df.select(
-        "url",
-        "warc_ts",
-        "html",
+    the fetch join needs (url, warc_ts, html, status, ok_after_attempt).
+    The Location column rides along as ``redirect_to`` so the engine's
+    redirect-chain collapse activates for WARC-sourced crawls."""
+    cols = [
+        F.col("url"),
+        F.col("warc_ts"),
+        F.col("html"),
         F.lit(None).cast("string").alias("text"),
         F.lit(None).cast("string").alias("lang"),
-        "status",
+        F.col("status"),
         F.lit(None).cast("int").alias("ok_after_attempt"),
-    )
+    ]
+    if "redirect_to" in df.columns:
+        cols.append(F.col("redirect_to"))
+    return df.select(*cols)
 
 
 def stream_warc(spark: SparkSession, path: str) -> DataFrame:
@@ -382,6 +397,7 @@ def stream_warc(spark: SparkSession, path: str) -> DataFrame:
                             "html": rec["html"],
                             "n_bytes": len(rec["html"]),
                             "content_type": rec["content_type"],
+                            "redirect_to": rec["redirect_to"],
                             "segment_mtime": naive(mtime),
                         }
                     )
@@ -389,7 +405,7 @@ def stream_warc(spark: SparkSession, path: str) -> DataFrame:
                 out,
                 columns=[
                     "url", "warc_ts", "status", "html", "n_bytes",
-                    "content_type", "segment_mtime",
+                    "content_type", "redirect_to", "segment_mtime",
                 ],
             )
 
