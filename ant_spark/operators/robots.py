@@ -68,12 +68,14 @@ class Group:
 class RobotsData:
     """Parsed robots.txt for one host."""
 
-    def __init__(self, groups: list[Group]):
+    def __init__(self, groups: list[Group], sitemaps: list[str] | None = None):
         self.groups = groups
+        self.sitemaps = sitemaps or []
 
     @classmethod
     def parse(cls, body: str | None) -> "RobotsData":
         groups: list[Group] = []
+        sitemaps: list[str] = []
         cur: Group | None = None
         rules_seen_in_cur = False
         for raw in (body or "").splitlines():
@@ -104,7 +106,16 @@ class RobotsData:
                     cur.crawl_delay = float(val)
                 except ValueError:
                     pass
-        return cls(groups)
+            elif key == "sitemap":
+                # REP: Sitemap is GROUP-INDEPENDENT (valid anywhere in the
+                # file, does not open or close a user-agent group) and the
+                # value is an absolute URL. The reference ignores it
+                # (temoto/robotstxt exposes sitemaps; ant never reads them)
+                # — surfaced here because sitemap-seeded crawling is
+                # first-class in this engine (sources/sitemap.py).
+                if val:
+                    sitemaps.append(val)
+        return cls(groups, sitemaps)
 
     def find_group(self, ua: str) -> Group | None:
         """Longest agent-token prefix match; '*' fallback."""
@@ -237,3 +248,43 @@ def with_robots(
         .drop("_r_host", "_r_status", "_r_body")
     )
     return out
+
+
+def make_sitemaps_udf():
+    """Vectorized Sitemap-directive extraction; 4xx/5xx robots expose none
+    (same status policy as the allow path: an error response has no rules).
+    Factory (not module-level) so importing needs no active session."""
+    from pyspark.sql.types import ArrayType, StringType
+
+    @pandas_udf(ArrayType(StringType()))
+    def sitemaps_udf(body: pd.Series, status: pd.Series) -> pd.Series:
+        out = []
+        for b, s in zip(body, status):
+            if b is None or (s is not None and s >= 400):
+                out.append([])
+            else:
+                out.append(_parsed(b).sitemaps)
+        return pd.Series(out)
+
+    return sitemaps_udf
+
+
+def robots_sitemaps(robots: DataFrame) -> DataFrame:
+    """(host, sitemap_url) rows from the robots dim — the discovery leg of
+    sitemap-seeded crawling.
+
+    REP: ``Sitemap:`` is group-independent and absolute. Compose with
+    ``sources.sitemap.crawl_sitemaps`` (index-tree recursion) and
+    ``sitemap_seeds`` to turn a robots feed into a priority-hinted seed
+    frontier; the robots dim is host-sized, so the collect of sitemap urls
+    feeding ``crawl_sitemaps`` is dim-sized by construction.
+    """
+    return (
+        robots.select(
+            "host",
+            F.explode(make_sitemaps_udf()(F.col("body"), F.col("status"))).alias(
+                "sitemap_url"
+            ),
+        )
+        .distinct()
+    )

@@ -156,3 +156,27 @@ def test_robots_ttl_flip_mid_crawl(spark):
 
     got_long, _ = crawl(100.0)  # never expires → original allow-all rules
     assert got_long == {"/", "mid.html", "blocked.html"}
+
+
+def test_sitemap_directive_parsed():
+    """REP: Sitemap is group-independent (before, inside or after a group)
+    and absolute; 4xx robots expose none via the Spark helper's status
+    policy (covered e2e in test_sitemap.py::test_robots_sitemap_seeded)."""
+    from ant_spark.operators.robots import RobotsData
+
+    body = (
+        "Sitemap: http://a.test/s1.xml\n"
+        "User-Agent: *\nDisallow: /private\n"
+        "Sitemap: http://a.test/s2.xml.gz\n"
+        "User-Agent: otherbot\nDisallow: /\n"
+        "Sitemap: http://a.test/s3.xml\n"
+    )
+    r = RobotsData.parse(body)
+    assert r.sitemaps == [
+        "http://a.test/s1.xml", "http://a.test/s2.xml.gz",
+        "http://a.test/s3.xml",
+    ]
+    # the directive does not perturb group structure
+    assert not r.allowed("/private/x", "antbot")
+    assert r.allowed("/ok", "antbot")
+    assert not r.allowed("/ok", "otherbot")

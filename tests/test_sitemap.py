@@ -134,11 +134,58 @@ def _w_two_level_tree(spark, tmp_path):
     assert len(set(order)) == len(order)
 
 
+def _w_robots_sitemap_seeded(spark, tmp_path):
+    """Discovery composition: robots.txt Sitemap directives → crawl_sitemaps
+    index recursion → sitemap_seeds → Engine.run. The crawl is seeded
+    entirely from what the robots feed advertises, priority hints intact,
+    and the robots rules still deny their paths during the crawl."""
+    from ant_spark.operators.robots import robots_sitemaps
+    from ant_spark.sources.sitemap import crawl_sitemaps
+
+    sm = tmp_path / "adv.xml.gz"
+    sm.write_bytes(gzip.compress(_SM))
+    robots_body = (
+        f"User-Agent: *\nDisallow: /search.html\n"
+        f"Sitemap: {sm}\n"
+    )
+    robots = spark.createDataFrame(
+        [("example.com", 200, robots_body, None, None)],
+        schema=schemas.ROBOTS,
+    )
+    # a 4xx robots row advertises nothing
+    robots_bad = spark.createDataFrame(
+        [("dead.test", 404, "Sitemap: http://dead.test/s.xml\n", None, None)],
+        schema=schemas.ROBOTS,
+    )
+    adv = robots_sitemaps(robots.unionByName(robots_bad))
+    got = [(r["host"], r["sitemap_url"]) for r in adv.collect()]
+    assert got == [("example.com", str(sm))]
+
+    tree = crawl_sitemaps(spark, [r["sitemap_url"] for r in adv.collect()])
+    seeds = sitemap_seeds(tree)
+    pages_pdf, _, _ = example_site()
+    pages = spark.createDataFrame(pages_pdf, schema=schemas.PAGES)
+    res = Engine(
+        spark, pages, robots,
+        CrawlConfig(max_rounds=12, queue_policy="priority",
+                    host_rates={"example.com": 1}),
+    ).run(seeds)
+    order = [r["url"].rsplit("/", 1)[-1] or "/"
+             for r in res.fetched_log.orderBy("round").collect()]
+    assert order[:3] == ["/", "products.html", "about.html"]  # hint order
+    assert "search.html" not in order  # robots deny still enforced
+    assert len(set(order)) == len(order)
+
+
 @pytest.fixture(scope="module")
 def sm_runs(spark, tmp_path_factory):
     from concurrent.futures import ThreadPoolExecutor
 
-    works = {"seeded_crawl": _w_seeded_crawl, "two_level_tree": _w_two_level_tree}
+    works = {
+        "seeded_crawl": _w_seeded_crawl,
+        "two_level_tree": _w_two_level_tree,
+        "robots_sitemap": _w_robots_sitemap_seeded,
+    }
     with ThreadPoolExecutor(max_workers=len(works)) as ex:
         futs = {
             n: ex.submit(fn, spark, tmp_path_factory.mktemp(f"sm_{n}"))
@@ -153,3 +200,7 @@ def test_sitemap_seeded_crawl(sm_runs):
 
 def test_crawl_sitemaps_two_level_tree(sm_runs):
     sm_runs["two_level_tree"].result()
+
+
+def test_robots_sitemap_seeded(sm_runs):
+    sm_runs["robots_sitemap"].result()
