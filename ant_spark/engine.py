@@ -100,6 +100,12 @@ class CrawlConfig:
     # divergence in PARITY.md; set False for byte parity).
     max_redirects: int = 10
     redirect_seen: bool = True
+    # opt-in 10th normalization rule (urlnorm.strip_tracking): drop
+    # utm_*/gclid/fbclid/… query params after reference normalization —
+    # session-tracking params make one document enumerable under unbounded
+    # URLs, inflating a 10^10 frontier and defeating the exact seen set.
+    # Default False keeps byte parity with the Go normalize goldens.
+    strip_tracking_params: bool = False
     max_rounds: int | None = None
     max_depth: int | None = None
     # exact | bloom_prefilter | bloom_drop | cuckoo_prefilter | cuckoo_drop
@@ -279,6 +285,9 @@ class Engine:
             robots_df = spark.createDataFrame([], schemas.ROBOTS)
         self.robots = robots_df
         self._parse_udf = make_parse_udf(self.cfg.scrape_spec, self.cfg.link_selector)
+        from ant_spark.functions.urlnorm import make_normalize_udf
+
+        self._norm_udf = make_normalize_udf(self.cfg.strip_tracking_params)
         self._robots_has_delay: bool | None = None
         self._robots_empty: bool | None = None
         self._robots_cache: DataFrame | None = None  # TTL mode per-host cache
@@ -588,8 +597,12 @@ class Engine:
         rows = []
         seen_local: set[str] = set()
         seq = 0
+        from ant_spark.functions.urlnorm import strip_tracking
+
         for raw in seeds:
             u = normalize_url(raw)  # raises ValueError like engine.Enqueue
+            if self.cfg.strip_tracking_params:
+                u = strip_tracking(u)
             scheme = u.split("://", 1)[0] if "://" in u else ""
             if scheme not in ("http", "https"):
                 raise ValueError(f"ant_spark: invalid seed scheme: {raw!r}")
@@ -742,6 +755,11 @@ class Engine:
             P = cfg.seq_partitions
             part = F.pmod(F.xxhash64("url"), F.lit(P))
             w = Window.partitionBy(part).orderBy("url")
+            if cfg.strip_tracking_params:
+                # idempotent re-normalize+strip: same-document urls that
+                # differ only in tracking params collapse BEFORE the
+                # one-row-per-url aggregation below
+                seeds = seeds.withColumn("url", self._norm_udf(F.col("url")))
             has_prio = "priority" in seeds.columns
             if has_prio:
                 # one row per URL even when the same URL carries different
@@ -1132,7 +1150,7 @@ class Engine:
                     F.col("depth").alias("parent_depth"),
                     F.posexplode("parsed.links").alias("link_idx", "raw_url"),
                 )
-                .withColumn("url", normalize_udf(F.col("raw_url")))
+                .withColumn("url", self._norm_udf(F.col("raw_url")))
                 .filter(F.col("url").isNotNull() & is_queueable(F.col("url")))
             )
             if cfg.matcher is not None:

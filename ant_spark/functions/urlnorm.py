@@ -232,3 +232,54 @@ def url_hash(url_col: Column) -> Column:
     never leaves the engine.
     """
     return F.xxhash64(url_col)
+
+
+# --------------------------------------------------------------------------
+# Tracking-parameter stripping (opt-in 10th rule, beyond the reference)
+#
+# Session/campaign query parameters make the same document enumerable under
+# unbounded distinct URLs — at corpus scale they inflate the frontier and
+# defeat the exact seen-set. The reference normalizes structure only
+# (url.go:25-79); this opt-in extension drops the well-known tracking keys
+# AFTER reference normalization, so with strip_tracking=False behavior is
+# byte-identical to the Go round-trip goldens.
+TRACKING_PARAM_PREFIXES = ("utm_",)
+TRACKING_PARAMS = frozenset(
+    "gclid gclsrc dclid gbraid wbraid fbclid msclkid twclid igshid yclid "
+    "mc_cid mc_eid mkt_tok _hsenc _hsmi vero_id vero_conv wickedid "
+    "oly_enc_id oly_anon_id s_kwcid ref_src ref_url spm scid".split()
+)
+
+
+def _is_tracking_param(param: str) -> bool:
+    key = param.split("=", 1)[0].lower()
+    return key in TRACKING_PARAMS or key.startswith(TRACKING_PARAM_PREFIXES)
+
+
+def strip_tracking(url: str) -> str:
+    """Drop tracking query params from an (already normalized) URL; the
+    sorted-param invariant is preserved because filtering keeps order. A
+    query emptied entirely loses its ``?`` (matching rule 4's bare-?
+    drop)."""
+    base, sep, query = url.partition("?")
+    if not sep:
+        return url
+    kept = [p for p in query.split("&") if not _is_tracking_param(p)]
+    return base + ("?" + "&".join(kept) if kept else "")
+
+
+def make_normalize_udf(strip_tracking_params: bool = False):
+    """normalize_udf with the optional tracking-strip composed in — the
+    engine's link-normalization stage binds this once per crawl."""
+    if not strip_tracking_params:
+        return normalize_udf
+
+    @pandas_udf(StringType())
+    def normalize_strip_udf(urls: pd.Series) -> pd.Series:
+        def one(u):
+            v = normalize_or_none(u)
+            return strip_tracking(v) if v is not None else None
+
+        return urls.map(one, na_action="ignore")
+
+    return normalize_strip_udf

@@ -223,6 +223,45 @@ def _w_host_rate(spark, example):
     assert seqs == sorted(seqs)
 
 
+def _w_strip_tracking_crawl(spark, example):
+    """strip_tracking_params e2e: two links to the same doc differing only
+    in utm/gclid params collapse to ONE fetch (the frontier-inflation
+    guard); with the flag off (reference parity) both variants fetch."""
+    import datetime as dt
+
+    import pandas as pd
+
+    base = dt.datetime(2025, 1, 1, tzinfo=dt.timezone.utc)
+
+    def page(url, html):
+        return {"url": url, "warc_ts": base, "html": html.encode(),
+                "text": "", "lang": "en", "status": 200,
+                "ok_after_attempt": None}
+
+    rows = [
+        page("http://t.test/", '<body><a href="/d?utm_source=a&x=1">1</a>'
+                               '<a href="/d?x=1&utm_source=b">2</a>'
+                               '<a href="/d?x=1&gclid=z">3</a></body>'),
+        page("http://t.test/d?x=1", "<body>D</body>"),
+    ]
+    pages = spark.createDataFrame(pd.DataFrame(rows), schema=schemas.PAGES)
+    res = Engine(
+        spark, pages, None,
+        CrawlConfig(max_rounds=6, strip_tracking_params=True),
+    ).run(["http://t.test/?fbclid=share"])
+    urls = sorted(r["url"] for r in res.fetched_log.collect())
+    assert urls == ["http://t.test/", "http://t.test/d?x=1"]  # one fetch
+
+    # parity mode: every variant is a distinct URL (and a 404 here)
+    res2 = Engine(
+        spark, pages, None, CrawlConfig(max_rounds=6)
+    ).run(["http://t.test/"])
+    stages = {}
+    for m in res2.metrics.collect():
+        stages[m["stage"]] = stages.get(m["stage"], 0) + m["n"]
+    assert stages["enqueued"] == 3  # three distinct tracked variants
+
+
 _WORKERS = {
     "rb_pattern_regexp": _w_rb_pattern_regexp,
     "rb_overlapping": _w_rb_overlapping,
@@ -234,6 +273,7 @@ _WORKERS = {
     "bloom_prefilter": _w_bloom_prefilter,
     "fetch_one": _w_fetch_one,
     "host_rate": _w_host_rate,
+    "strip_tracking": _w_strip_tracking_crawl,
 }
 
 
@@ -284,3 +324,7 @@ def test_fetch_one(api_runs):
 
 def test_host_rate_limits_rounds(api_runs):
     api_runs["host_rate"].result()
+
+
+def test_strip_tracking_params_crawl(api_runs):
+    api_runs["strip_tracking"].result()

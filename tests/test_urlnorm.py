@@ -75,3 +75,21 @@ def test_normalize_udf_spark(spark):
     got = [r["n"] for r in df.collect()]
     assert got[: len(GOLDEN)] == [g[2] for g in GOLDEN]
     assert got[-1] is None
+
+
+def test_strip_tracking_params():
+    """Opt-in 10th rule: tracking keys drop AFTER reference normalization;
+    sorted-param invariant and bare-? drop are preserved; non-tracking
+    params (incl. ones merely containing 'utm') survive."""
+    from ant_spark.functions.urlnorm import normalize_url, strip_tracking
+
+    u = normalize_url(
+        "http://a.test/p?utm_source=x&b=2&gclid=abc&a=1&UTM_campaign=y&fbclid=z"
+    )
+    # key match is case-insensitive (UTM_campaign drops too: the reference
+    # keeps query bytes raw, but a tracker is a tracker in any case)
+    assert strip_tracking(u) == "http://a.test/p?a=1&b=2"
+    assert strip_tracking("http://a.test/p?utm_source=x") == "http://a.test/p"
+    assert strip_tracking("http://a.test/p") == "http://a.test/p"
+    assert strip_tracking("http://a.test/p?autumn=1") == "http://a.test/p?autumn=1"
+    assert strip_tracking("http://a.test/p?myutm_x=1") == "http://a.test/p?myutm_x=1"
