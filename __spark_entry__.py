@@ -1308,7 +1308,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_unigram_logprob": _q_unigram_logprob,
         "graph_pagerank": _q_pagerank,
         "graph_host_rank": _q_host_rank,
-        "graph_degrees": _q_graph_degrees,
         # similarity search
         "emb_cosine_topk": _q_cosine_topk,
         "emb_near_dup": _q_emb_near_dup,
@@ -1329,6 +1328,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_curation_pipeline": _q_curation,
         "emb_lsh_bucket": _q_lsh_bucket,
         "emb_ivf_assign": _q_ivf_assign,
+        "graph_degrees": _q_graph_degrees,
         "media_features_stub": _q_media_features,
     }
 
