@@ -112,6 +112,11 @@ class CrawlConfig:
     # (_drop modes reproduce reference DedupeBF false-positive losses)
     dedupe: str = "exact"
     link_selector: str = "a[href]"  # Page.Next(selector) — page.go:103-105
+    # what lands in fetched_log.text: 'scan' = reference scan.Text (every
+    # text node, nodes.go:27-48); 'main' = boilerplate-stripped body text
+    # (functions/readability) extracted in the SAME fused parse pass — a
+    # training-corpus build needs no second decode of the html column.
+    text_mode: str = "scan"
     # Queue policy (reference Queue interface, queue.go:12-49): 'fifo' is
     # the memoryQueue's order; 'priority' dequeues by (priority asc, seq).
     queue_policy: str = "fifo"
@@ -284,7 +289,9 @@ class Engine:
         if robots_df is None:
             robots_df = spark.createDataFrame([], schemas.ROBOTS)
         self.robots = robots_df
-        self._parse_udf = make_parse_udf(self.cfg.scrape_spec, self.cfg.link_selector)
+        self._parse_udf = make_parse_udf(
+            self.cfg.scrape_spec, self.cfg.link_selector, self.cfg.text_mode
+        )
         from ant_spark.functions.urlnorm import make_normalize_udf
 
         self._norm_udf = make_normalize_udf(self.cfg.strip_tracking_params)

@@ -120,15 +120,35 @@ def parse_page(
     base_url: str,
     spec: dict[str, Any] | None = None,
     link_selector: str = "a[href]",
+    text_mode: str = "scan",
 ) -> tuple[list[str], str, str, dict[str, str]]:
     """One parse → (links, text, title, scraped). The fusion point.
 
     ``link_selector`` parameterizes link discovery (reference ``Page.Next``,
     page.go:103-105 — e.g. pagination via 'a.next'); default is Page.URLs'
-    ``a[href]``.
+    ``a[href]``. ``text_mode``: ``'scan'`` is reference scan.Text (every
+    text node); ``'main'`` runs the boilerplate-removal kernel
+    (functions/readability) in the SAME pass — a corpus build gets training
+    text at crawl time with no second decode of the html column.
     """
     if html is None:
         return [], "", "", {}
+    if text_mode == "main":
+        from ant_spark.functions.readability import main_text_from_doc
+
+        doc = parse(html)
+        hrefs = [
+            node.attr("href")
+            for node in compile_selector(link_selector).match_all(doc)
+            if node.attr("href") is not None
+        ]
+        title_node = compile_selector("title").match_first(doc)
+        return (
+            _resolve_hrefs(hrefs, base_url),
+            main_text_from_doc(doc),
+            text(title_node) if title_node is not None else "",
+            scrape(doc, spec) if spec else {},
+        )
     if spec is None and link_selector == "a[href]":
         # hot path: one streaming pass, no DOM (links + text + title fused)
         txt, hrefs, title = stream_extract(html)
@@ -171,7 +191,8 @@ def _resolve_hrefs(hrefs: list[str], base_url: str) -> list[str]:
 
 
 def make_parse_udf(spec: dict[str, Any] | None = None,
-                   link_selector: str = "a[href]"):
+                   link_selector: str = "a[href]",
+                   text_mode: str = "scan"):
     """Fused parse UDF: (url: string, html: binary) → PARSE_OUT struct.
 
     ``spec`` is compiled once on the driver, captured by closure, shipped in
@@ -188,7 +209,8 @@ def make_parse_udf(spec: dict[str, Any] | None = None,
         titles: list[str] = []
         scraped: list[dict[str, str]] = []
         for u, h in zip(url, html):
-            l, t, ti, s = parse_page(h, u or "", spec, link_selector)
+            l, t, ti, s = parse_page(h, u or "", spec, link_selector,
+                                     text_mode)
             links.append(l)
             texts.append(t)
             titles.append(ti)

@@ -81,7 +81,19 @@ def main_text(
     """Body text of a page, boilerplate stripped (see module docstring)."""
     if html is None:
         return ""
-    doc = parse(html)
+    return main_text_from_doc(
+        parse(html), min_len, max_link_density, min_len_heading
+    )
+
+
+def main_text_from_doc(
+    doc: Node,
+    min_len: int = 25,
+    max_link_density: float = 0.33,
+    min_len_heading: int = 8,
+) -> str:
+    """Kernel over an already-parsed DOM — lets the fused parse stage
+    (parse.py text_mode='main') reuse ONE tree for links+title+main_text."""
     blocks: list[str] = []
 
     # DFS carrying (node, in_chrome, in_link); text accumulates into the

@@ -80,3 +80,40 @@ def test_main_text_udf(spark):
     rows = {r["doc_id"]: r["main_text"] for r in with_main_text(df).collect()}
     assert rows["a"] == main_text(_PAGE)  # UDF == pure-python kernel
     assert rows["b"] == ""
+
+
+def test_crawl_text_mode_main(spark):
+    """CrawlConfig.text_mode='main': fetched_log.text is boilerplate-
+    stripped in the same fused parse pass; link discovery (nav links
+    included!) is unchanged, so the crawl frontier is identical."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from ant_spark import schemas
+    from ant_spark.engine import CrawlConfig, Engine
+
+    base = dt.datetime(2025, 1, 1, tzinfo=dt.timezone.utc)
+    rows = [
+        {"url": "http://m.test/", "warc_ts": base,
+         "html": (b"<body><nav><a href='/about'>About</a></nav>"
+                  b"<article><p>The harbor town kept its fishing fleet "
+                  b"through generations of change.</p></article></body>"),
+         "text": "", "lang": "en", "status": 200, "ok_after_attempt": None},
+        {"url": "http://m.test/about", "warc_ts": base,
+         "html": b"<body><p>About page body text long enough to keep.</p></body>",
+         "text": "", "lang": "en", "status": 200, "ok_after_attempt": None},
+    ]
+    pages = spark.createDataFrame(pd.DataFrame(rows), schema=schemas.PAGES)
+    res = Engine(
+        spark, pages, None, CrawlConfig(max_rounds=4, text_mode="main")
+    ).run(["http://m.test/"])
+    got = {r["url"]: r["text"] for r in res.fetched_log.collect()}
+    # nav link still crawled (frontier untouched) but its text is stripped
+    assert set(got) == {"http://m.test/", "http://m.test/about"}
+    assert got["http://m.test/"] == (
+        "The harbor town kept its fishing fleet through generations of change."
+    )
+    assert got["http://m.test/about"] == (
+        "About page body text long enough to keep."
+    )
