@@ -570,6 +570,27 @@ def _q_content_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_screening(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content screening MERGED: PII/url counts (salted docs) + the
+    Gopher-style duplicate-3-gram repetition score in one per-doc row —
+    the two per-document screening signals a curation pass reads together
+    (merged per the 50-query-window curation rule; the standalone
+    text_content_flags/text_repetition forms live on in the operators and
+    their unit tests)."""
+    from ant_spark.operators import textops as T
+
+    flags = _salted_docs(spark, sf_dir).select(
+        "doc_id", T.content_flags(F.col("text")).alias("f")
+    )
+    rep = _t(spark, sf_dir, "documents").select(
+        "doc_id", T.repetition_score(F.col("text"), k=3).alias("rep_score")
+    )
+    return flags.join(rep, "doc_id").select(
+        "doc_id", "f.n_emails", "f.n_urls", "f.n_phones", "f.has_pii",
+        "rep_score",
+    )
+
+
 def _q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ant_spark.operators import textops as T
 
@@ -1248,6 +1269,20 @@ def _q_main_content(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_main_text(df).select("doc_id", "main_text").orderBy("doc_id")
 
 
+def _q_gopher_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher corpus-filter rules (Rae et al. 2021 A1.1) as one native
+    struct — every ratio threshold cross-multiplied to integer predicates
+    so the DuckDB oracle is bit-exact (no float division on a boundary)."""
+    from ant_spark.operators.textops import gopher_quality_flags
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        docs.select("doc_id", gopher_quality_flags(F.col("text")).alias("g"))
+        .select("doc_id", "g.*")
+        .orderBy("doc_id")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Query registry. ORDER MATTERS: the driver's correctness gate reads
     only the FIRST 50 entries, so positions 1-50 hold the canonical
@@ -1290,6 +1325,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # training-data text ops
         "text_enrich": _q_text_enrich,
         "text_main_content": _q_main_content,
+        "text_gopher_flags": _q_gopher_flags,
         "text_fingerprint_dups": _q_fingerprint_dups,
         "text_jaccard_pairs": _q_jaccard_pairs,
         "text_simhash_near_dup": _q_simhash_pairs,
@@ -1297,8 +1333,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_top_idf_terms": _q_top_idf_terms,
         "text_incremental_new": _q_incremental_new,
         "text_pack_plan": _q_pack_plan,
-        "text_content_flags": _q_content_flags,
-        "text_repetition": _q_repetition,
+        "text_screening": _q_screening,
         "text_minhash_lsh_pairs": _q_minhash_lsh_pairs,
         "text_curation_full": _q_curation_full,
         "text_curation_components": _q_curation_components,
@@ -1862,7 +1897,7 @@ def oracle_sql() -> dict[str, str]:
                     - cum_before // 512 + 1)::BIGINT AS n_windows
             FROM c
         """,
-        "text_content_flags": """
+        "text_screening": f"""
             WITH salted AS (
               SELECT doc_id, text
                 || (CASE WHEN doc_id % 5 = 0
@@ -1877,23 +1912,23 @@ def oracle_sql() -> dict[str, str]:
             f AS (
               SELECT doc_id,
                 len(regexp_extract_all(text,
-                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))::INT
+                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}'))::INT
                   AS n_emails,
                 len(regexp_extract_all(text, 'https?://[^\\s]+'))::INT
                   AS n_urls,
-                len(regexp_extract_all(text, '\\+?[0-9]{10,12}'))::INT
+                len(regexp_extract_all(text, '\\+?[0-9]{{10,12}}'))::INT
                   AS n_phones
-              FROM salted)
-            SELECT doc_id, n_emails, n_urls, n_phones,
-                   (n_emails + n_phones > 0) AS has_pii
-            FROM f
-        """,
-        "text_repetition": f"""
-            SELECT doc_id,
-              CASE WHEN len(sh) > 0
-                   THEN round(1.0 - len(list_distinct(sh))::DOUBLE / len(sh), 4)
-                   ELSE 0.0 END AS rep_score
-            FROM (SELECT doc_id, {_SHINGLES_SQL} AS sh FROM documents)
+              FROM salted),
+            rep AS (
+              SELECT doc_id,
+                CASE WHEN len(sh) > 0
+                     THEN round(
+                       1.0 - len(list_distinct(sh))::DOUBLE / len(sh), 4)
+                     ELSE 0.0 END AS rep_score
+              FROM (SELECT doc_id, {_SHINGLES_SQL} AS sh FROM documents))
+            SELECT f.doc_id, n_emails, n_urls, n_phones,
+                   (n_emails + n_phones > 0) AS has_pii, rep_score
+            FROM f JOIN rep ON f.doc_id = rep.doc_id
         """,
         "text_top_idf_terms": f"""
             WITH terms AS (
@@ -2502,6 +2537,67 @@ def oracle_sql() -> dict[str, str]:
               ('d2', 'Visitors learn the rhythm of the tides and the market bell.'),
               ('d3', '')
             ) AS t(doc_id, main_text)
+            ORDER BY doc_id
+        """,
+        # text_gopher_flags: integer-exact Gopher rule set — list lambdas
+        # mirror the Spark higher-order functions 1:1.
+        "text_gopher_flags": """
+            WITH w AS (
+              SELECT doc_id,
+                     coalesce(text, '') AS t,
+                     CASE WHEN length(trim(coalesce(text, ''))) > 0
+                          THEN regexp_split_to_array(
+                                 trim(coalesce(text, '')), '\\s+')
+                          ELSE []::VARCHAR[] END AS words,
+                     list_filter(
+                       list_transform(
+                         string_split(coalesce(text, ''), chr(10)),
+                         l -> trim(l)),
+                       l -> length(l) > 0) AS lines
+              FROM documents
+            ), f AS (
+              SELECT doc_id, t, words, lines,
+                     len(words) AS wc,
+                     coalesce(list_sum(
+                       list_transform(words, x -> length(x))), 0) AS total_chars,
+                     len(list_filter(words,
+                       x -> regexp_matches(x, '[A-Za-z]'))) AS alpha_words,
+                     len(lines) AS n_lines,
+                     len(list_filter(lines,
+                       l -> l LIKE '- %' OR l LIKE '* %'
+                            OR l LIKE '\u2022%')) AS bullets,
+                     len(list_filter(lines,
+                       l -> l LIKE '%...' OR l LIKE '%\u2026')) AS ellipsis,
+                     len(regexp_extract_all(t, '#'))
+                       + len(regexp_extract_all(t, '\\.\\.\\.|\u2026'))
+                       AS symbols,
+                     len(list_filter(
+                       ['the','be','to','of','and','that','have','with'],
+                       s -> list_contains(
+                         list_transform(words, x -> lower(x)), s)))
+                       AS stop_hits,
+                     length(trim(t)) > 0 AS has_text
+              FROM w
+            )
+            SELECT doc_id,
+                   wc::INT AS n_words,
+                   (wc >= 50 AND wc <= 100000) AS len_ok,
+                   (has_text AND total_chars >= 3 * wc
+                    AND total_chars <= 10 * wc) AS mean_wl_ok,
+                   (10 * symbols <= wc) AS symbol_ok,
+                   (10 * bullets <= 9 * n_lines) AS bullet_ok,
+                   (10 * ellipsis <= 3 * n_lines) AS ellipsis_ok,
+                   (has_text AND 5 * alpha_words >= 4 * wc) AS alpha_ok,
+                   (stop_hits >= 2) AS stop_ok,
+                   ((wc >= 50 AND wc <= 100000)
+                    AND (has_text AND total_chars >= 3 * wc
+                         AND total_chars <= 10 * wc)
+                    AND (10 * symbols <= wc)
+                    AND (10 * bullets <= 9 * n_lines)
+                    AND (10 * ellipsis <= 3 * n_lines)
+                    AND (has_text AND 5 * alpha_words >= 4 * wc)
+                    AND (stop_hits >= 2)) AS keep
+            FROM f
             ORDER BY doc_id
         """,
         # crawl_priority_order: deterministic rank-ordered crawl of the hub

@@ -596,6 +596,89 @@ def content_flags(text_col: Column) -> Column:
     )
 
 
+def gopher_quality_flags(text_col: Column) -> Column:
+    """The Gopher corpus-filter rule set (Rae et al. 2021, "Scaling Language
+    Models", Appendix A1.1) as ONE native struct column — per-document,
+    embarrassingly parallel, integer-exact predicates (ratio thresholds are
+    cross-multiplied so no float division can flap a boundary between
+    engines):
+
+    - word count in [50, 100_000];
+    - mean word length in [3, 10] characters;
+    - symbol-to-word ratio (``#`` or ``…``/``...``) ≤ 0.1;
+    - ≤ 90% of lines start with a bullet; ≤ 30% end with an ellipsis;
+    - ≥ 80% of words contain at least one alphabetic character;
+    - at least 2 distinct members of the 8-word English stop set
+      (the/be/to/of/and/that/have/with) appear.
+
+    ``keep`` ANDs all seven. NULL/empty text fails len_ok and keeps concrete
+    false flags (same NULL policy as content_flags)."""
+    t = F.coalesce(text_col, F.lit(""))
+    has_text = F.length(F.trim(t)) > 0
+    words = F.when(has_text, F.split(F.trim(t), r"\s+")).otherwise(
+        F.array().cast("array<string>")
+    )
+    wc = F.size(words)
+    total_chars = F.aggregate(
+        words, F.lit(0), lambda acc, w: acc + F.length(w)
+    )
+    alpha_words = F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]")))
+    lines = F.filter(
+        # NB: an explicit 1-arg lambda — passing F.trim directly would let
+        # transform() feed the element INDEX as trim's second (trim-chars)
+        # parameter
+        F.transform(F.split(t, "\n"), lambda l: F.trim(l)),
+        lambda l: F.length(l) > 0,
+    )
+    n_lines = F.size(lines)
+    bullet_lines = F.size(
+        F.filter(
+            lines,
+            lambda l: l.startswith("- ") | l.startswith("* ")
+            | l.startswith("\u2022"),
+        )
+    )
+    ellipsis_lines = F.size(
+        F.filter(lines, lambda l: l.endswith("...") | l.endswith("\u2026"))
+    )
+    symbols = (
+        F.size(F.regexp_extract_all(t, F.lit(r"#"), 0))
+        # the literal ellipsis char (not a \uXXXX escape): Java regex and
+        # RE2 (DuckDB oracle) both take it verbatim
+        + F.size(F.regexp_extract_all(t, F.lit("\\.\\.\\.|\u2026"), 0))
+    )
+    lower_words = F.transform(words, F.lower)
+    stop_hits = F.size(
+        F.filter(
+            F.array(*[F.lit(s) for s in
+                      ("the", "be", "to", "of", "and", "that", "have", "with")]),
+            lambda s: F.array_contains(lower_words, s),
+        )
+    )
+    len_ok = (wc >= 50) & (wc <= 100_000)
+    mean_wl_ok = has_text & (total_chars >= 3 * wc) & (total_chars <= 10 * wc)
+    symbol_ok = 10 * symbols <= wc
+    bullet_ok = 10 * bullet_lines <= 9 * n_lines
+    ellipsis_ok = 10 * ellipsis_lines <= 3 * n_lines
+    alpha_ok = has_text & (5 * alpha_words >= 4 * wc)
+    stop_ok = stop_hits >= 2
+    keep = (
+        len_ok & mean_wl_ok & symbol_ok & bullet_ok & ellipsis_ok
+        & alpha_ok & stop_ok
+    )
+    return F.struct(
+        wc.alias("n_words"),
+        len_ok.alias("len_ok"),
+        mean_wl_ok.alias("mean_wl_ok"),
+        symbol_ok.alias("symbol_ok"),
+        bullet_ok.alias("bullet_ok"),
+        ellipsis_ok.alias("ellipsis_ok"),
+        alpha_ok.alias("alpha_ok"),
+        stop_ok.alias("stop_ok"),
+        keep.alias("keep"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03 — the MOSS
 # local document-fingerprinting algorithm): rolling k-gram hashes, keep the
