@@ -34,6 +34,7 @@ def curate(
     hash_fn: str = "md5",
     max_repetition: float | None = None,
     drop_pii: bool = False,
+    gopher_rules: bool = False,
     near_dup: str = "pairwise",
 ) -> tuple[DataFrame, DataFrame]:
     """→ (kept_docs, stats). ``kept_docs`` = (doc_id, lang_id, quality,
@@ -43,8 +44,12 @@ def curate(
     (the scale mode); 'md5' keeps the full chain DuckDB-oracle-reproducible.
     ``max_repetition`` drops docs whose duplicate k-gram fraction exceeds it
     (Gopher-style boilerplate rule); ``drop_pii`` drops docs whose
-    content_flags has_pii fires. Both optional stages are per-row native
-    exprs — they extend the codegen span, not the shuffle count.
+    content_flags has_pii fires; ``gopher_rules=True`` additionally
+    requires the full integer-exact Gopher rule set
+    (textops.gopher_quality_flags — word-count band, mean word length,
+    symbol/bullet/ellipsis ratios, alpha fraction, stop words). All
+    optional stages are per-row native exprs — they extend the codegen
+    span, not the shuffle count.
 
     ``near_dup`` picks the drop policy over confirmed duplicate pairs:
 
@@ -65,6 +70,7 @@ def curate(
         T.fingerprint(F.col("text")).alias("fp"),
         T.repetition_score(F.col("text"), k).alias("_rep"),
         T.content_flags(F.col("text")).getField("has_pii").alias("_pii"),
+        T.gopher_quality_flags(F.col("text")).getField("keep").alias("_gopher"),
     )
 
     lang_cond = F.col("lang_id").isin(*langs)
@@ -73,6 +79,8 @@ def curate(
         row_cond = row_cond & (F.col("_rep") <= max_repetition)
     if drop_pii:
         row_cond = row_cond & ~F.col("_pii")
+    if gopher_rules:
+        row_cond = row_cond & F.col("_gopher")
     qual_ok = enriched.filter(row_cond)
 
     # exact dedup: keep the lowest doc_id per fingerprint

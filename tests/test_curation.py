@@ -80,3 +80,28 @@ def test_curate_rejects_bad_near_dup(spark):
     docs = spark.createDataFrame(DOCS, "doc_id long, text string")
     with pytest.raises(ValueError, match="near_dup"):
         curate(docs, near_dup="clusters")
+
+
+def test_curate_gopher_rules(spark):
+    """gopher_rules=True: a doc passing lang/quality floors but failing a
+    Gopher rule (word count < 50) drops; a long compliant doc survives.
+    The stage lineage still reconciles (kept = exact_unique - dropped)."""
+    good = " ".join(
+        ["the river boats carried the grain to the market town where the "
+         "people of the valley traded the goods and the news of the harvest "
+         "season with the merchants of the plains and the sailors"] * 2
+    )
+    shortish = ("the quick brown fox jumps over the lazy dog near the "
+                "river bank today")  # decent quality, but < 50 words
+    docs = spark.createDataFrame(
+        [(1, good), (2, shortish)], "doc_id long, text string"
+    )
+    kept, stats = curate(docs, langs=("en",), min_quality=0.2,
+                         gopher_rules=True)
+    assert [r["doc_id"] for r in kept.collect()] == [1]
+    st = {r["stage"]: r["n"] for r in stats.collect()}
+    assert st["input"] == 2 and st["quality_ok"] == 1 and st["kept"] == 1
+
+    # flag off: both survive (the rule set is opt-in)
+    kept2, _ = curate(docs, langs=("en",), min_quality=0.2)
+    assert sorted(r["doc_id"] for r in kept2.collect()) == [1, 2]
