@@ -53,21 +53,26 @@ from ant_spark.functions.urlnorm import normalize_or_none
 REDIRECT_STATUSES = (301, 302, 303, 307, 308)
 
 
-@pandas_udf("string")
-def _resolve_location_udf(base: pd.Series, loc: pd.Series) -> pd.Series:
+def _make_resolve_location_udf():
     """RFC 3986 resolution of a Location header against the request URL,
     then the engine's 9-rule normalization (so chain keys join exactly
-    against the normalized corpus urls); unresolvable → null."""
+    against the normalized corpus urls); unresolvable → null. Factory
+    (not module-level) so importing this module needs no active session."""
+    from pyspark.sql.types import StringType
 
-    def one(b, l):  # noqa: E741 - l mirrors the header name
-        if b is None or l is None:
-            return None
-        try:
-            return normalize_or_none(urljoin(b, l.strip()))
-        except ValueError:
-            return None
+    @pandas_udf(StringType())
+    def resolve_location_udf(base: pd.Series, loc: pd.Series) -> pd.Series:
+        def one(b, l):  # noqa: E741 - l mirrors the header name
+            if b is None or l is None:
+                return None
+            try:
+                return normalize_or_none(urljoin(b, l.strip()))
+            except ValueError:
+                return None
 
-    return pd.Series([one(b, l) for b, l in zip(base, loc)])
+        return pd.Series([one(b, l) for b, l in zip(base, loc)])
+
+    return resolve_location_udf
 
 
 def resolve_redirects(pages: DataFrame, max_redirects: int = 10) -> DataFrame:
@@ -90,9 +95,9 @@ def resolve_redirects(pages: DataFrame, max_redirects: int = 10) -> DataFrame:
         pages.filter(is_redir)
         .select(
             F.col("url").alias("_r_src"),
-            _resolve_location_udf(F.col("url"), F.col("redirect_to")).alias(
-                "_r_dst"
-            ),
+            _make_resolve_location_udf()(
+                F.col("url"), F.col("redirect_to")
+            ).alias("_r_dst"),
         )
         .filter(F.col("_r_dst").isNotNull())
         .persist()

@@ -162,6 +162,10 @@ def main() -> None:
         "text_incremental_new",
         "graph_host_rank",
         "graph_pagerank",
+        # round-6 operators
+        "text_gopher_flags",
+        "text_screening",
+        "text_main_content",
     ]:
         t = time.time()
         qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()

@@ -272,6 +272,52 @@ def main() -> None:
           f"bucketed rank table)")
     results.append(ok8)
 
+    # 9. redirect-chain closure (operators/redirects.py): the hop LOOP
+    # must be materialized away at build time — the plan that re-evaluates
+    # per round is content-scan UNION (one dim join against the
+    # eager-localCheckpointed landing map), never the chain of per-hop
+    # joins. A 3-hop + cycle fixture exercises the loop; the resolved
+    # plan must contain the checkpointed scan (ExistingRDD) and at most
+    # ONE join node.
+    import datetime as _dt
+
+    import pandas as _pd
+
+    from ant_spark.operators.redirects import resolve_redirects
+    from pyspark.sql.types import StringType as _S, StructField as _SF, StructType as _ST
+
+    _base = _dt.datetime(2025, 1, 1, tzinfo=_dt.timezone.utc)
+
+    def _rp(url, status=200, redirect_to=None):
+        return {"url": url, "warc_ts": _base, "html": b"<p>x</p>",
+                "text": "", "lang": "en", "status": status,
+                "ok_after_attempt": None, "redirect_to": redirect_to}
+
+    _rschema = _ST(list(schemas.PAGES.fields) + [_SF("redirect_to", _S(), True)])
+    rpages = spark.createDataFrame(
+        _pd.DataFrame([
+            _rp("http://r.test/a", 301, "/b"),
+            _rp("http://r.test/b", 302, "/c"),
+            _rp("http://r.test/c"),
+            _rp("http://r.test/x", 301, "/y"),
+            _rp("http://r.test/y", 301, "/x"),  # cycle
+            _rp("http://r.test/plain"),
+        ]),
+        schema=_rschema,
+    )
+    rplan = plan_of(resolve_redirects(rpages, max_redirects=10))
+    # formatted explain: each physical node appears once as "(N) <Op>" in
+    # the tree header — count join NODES, not every textual mention
+    n_joins = len(re.findall(r"\(\d+\) \w*Join", rplan))
+    ok9 = (
+        "ExistingRDD" in rplan  # the checkpointed landing/exceeded maps
+        and n_joins <= 1
+        and "Union" in rplan
+    )
+    print(f"{'PASS' if ok9 else 'FAIL'}  redirect_closure_precomputed "
+          f"(resolved plan: {n_joins} join node(s), hop loop checkpointed)")
+    results.append(ok9)
+
     print(f"\n{'ALL PASS' if all(results) else 'AUDIT FAILURES'}")
     sys.exit(0 if all(results) else 1)
 
