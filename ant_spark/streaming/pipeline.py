@@ -277,6 +277,8 @@ def stream_curate(
     min_quality: float = 0.5,
     watermark: str = "2 hours",
     available_now: bool = True,
+    text_mode: str = "scan",
+    gopher_rules: bool = False,
 ):
     """Incremental curation over LANDING WARC segments — the streaming
     composition of the round-5 ingest + curation stack: ``stream_warc``
@@ -293,13 +295,23 @@ def stream_curate(
     the standard lambda split (stream = cheap exact delta, batch = deep
     dedupe sweep). Output parquet rows: (doc_key, warc_ts, lang_id,
     quality, n_tokens, text).
+
+    ``text_mode='main'`` curates on boilerplate-stripped body text
+    (functions/readability) instead of full scan.Text; ``gopher_rules``
+    ANDs the integer-exact Gopher rule set into the admission floor —
+    both per-row, so the streaming state shape is unchanged.
     """
     from ant_spark.functions.parse import make_text_udf
     from ant_spark.operators import textops as T
     from ant_spark.sources.warc import stream_warc
 
     recs = stream_warc(spark, warc_dir)
-    text_udf = make_text_udf()  # scan.Text extraction, Arrow-batched
+    if text_mode == "main":
+        from ant_spark.functions.readability import make_main_text_udf
+
+        text_udf = make_main_text_udf()  # boilerplate-stripped body
+    else:
+        text_udf = make_text_udf()  # scan.Text extraction, Arrow-batched
     # Event-time policy: the lenient WARC reader emits NULL warc_ts for
     # malformed WARC-Date records; a NULL event time inside a watermarked
     # stateful dedupe is dropped rather than curated, silently losing an
@@ -320,10 +332,11 @@ def stream_curate(
         T.token_count(F.col("text")).alias("n_tokens"),
         T.fingerprint(F.col("text")).alias("fp"),
     )
+    admit = F.col("lang_id").isin(*langs) & (F.col("quality") >= min_quality)
+    if gopher_rules:
+        admit = admit & T.gopher_quality_flags(F.col("text")).getField("keep")
     kept = (
-        enriched.filter(
-            F.col("lang_id").isin(*langs) & (F.col("quality") >= min_quality)
-        )
+        enriched.filter(admit)
         .withWatermark("warc_ts", watermark)
         .dropDuplicatesWithinWatermark(["fp"])
         .select("doc_key", "warc_ts", "lang_id", "quality", "n_tokens", "text")
