@@ -1,4 +1,9 @@
-"""Composed curation pipeline (operators/curation.py)."""
+"""Composed curation pipeline (operators/curation.py).
+
+The four independent bodies run CONCURRENTLY in one Spark session
+(contract-suite pattern)."""
+
+import pytest
 
 from ant_spark.operators.curation import curate
 
@@ -16,7 +21,7 @@ DOCS = [
 ]
 
 
-def test_curate_stages(spark):
+def _w_stages(spark):
     docs = spark.createDataFrame(DOCS, "doc_id long, text string")
     kept, stats = curate(
         docs, langs=("en",), min_quality=0.3, jaccard_threshold=0.5,
@@ -49,7 +54,7 @@ CHAIN_DOCS = [
 ]
 
 
-def test_curate_components_vs_pairwise(spark):
+def _w_components(spark):
     from pyspark.sql import functions as F
 
     from ant_spark.operators import textops as T
@@ -74,7 +79,7 @@ def test_curate_components_vs_pairwise(spark):
     assert {r["stage"]: r["n"] for r in stats_cc.collect()}["kept"] == 2
 
 
-def test_curate_rejects_bad_near_dup(spark):
+def _w_rejects(spark):
     import pytest
 
     docs = spark.createDataFrame(DOCS, "doc_id long, text string")
@@ -82,7 +87,7 @@ def test_curate_rejects_bad_near_dup(spark):
         curate(docs, near_dup="clusters")
 
 
-def test_curate_gopher_rules(spark):
+def _w_gopher(spark):
     """gopher_rules=True: a doc passing lang/quality floors but failing a
     Gopher rule (word count < 50) drops; a long compliant doc survives.
     The stage lineage still reconciles (kept = exact_unique - dropped)."""
@@ -105,3 +110,36 @@ def test_curate_gopher_rules(spark):
     # flag off: both survive (the rule set is opt-in)
     kept2, _ = curate(docs, langs=("en",), min_quality=0.2)
     assert sorted(r["doc_id"] for r in kept2.collect()) == [1, 2]
+
+
+_WORKERS = {
+    "stages": _w_stages,
+    "components": _w_components,
+    "rejects": _w_rejects,
+    "gopher": _w_gopher,
+}
+
+
+@pytest.fixture(scope="module")
+def cur_runs(spark):
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=len(_WORKERS)) as ex:
+        futs = {n: ex.submit(fn, spark) for n, fn in _WORKERS.items()}
+    return futs
+
+
+def test_curate_stages(cur_runs):
+    cur_runs["stages"].result()
+
+
+def test_curate_components_vs_pairwise(cur_runs):
+    cur_runs["components"].result()
+
+
+def test_curate_rejects_bad_near_dup(cur_runs):
+    cur_runs["rejects"].result()
+
+
+def test_curate_gopher_rules(cur_runs):
+    cur_runs["gopher"].result()

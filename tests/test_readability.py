@@ -1,5 +1,8 @@
 """Boilerplate removal (functions/readability.py): shallow-feature block
-classification (Kohlschütter WSDM'10 family) — deterministic, stdlib-only."""
+classification (Kohlschütter WSDM'10 family) — deterministic, stdlib-only.
+The two Spark bodies run concurrently (contract-suite pattern)."""
+
+import pytest
 
 from ant_spark.functions.readability import main_text
 
@@ -71,7 +74,7 @@ def test_main_text_nested_chrome_inheritance():
     assert "Real content" in out
 
 
-def test_main_text_udf(spark):
+def _w_udf(spark):
     from ant_spark.functions.readability import with_main_text
 
     df = spark.createDataFrame(
@@ -82,7 +85,7 @@ def test_main_text_udf(spark):
     assert rows["b"] == ""
 
 
-def test_crawl_text_mode_main(spark):
+def _w_crawl_main(spark):
     """CrawlConfig.text_mode='main': fetched_log.text is boilerplate-
     stripped in the same fused parse pass; link discovery (nav links
     included!) is unchanged, so the crawl frontier is identical."""
@@ -117,3 +120,21 @@ def test_crawl_text_mode_main(spark):
     assert got["http://m.test/about"] == (
         "About page body text long enough to keep."
     )
+
+
+@pytest.fixture(scope="module")
+def rd_runs(spark):
+    from concurrent.futures import ThreadPoolExecutor
+
+    works = {"udf": _w_udf, "crawl_main": _w_crawl_main}
+    with ThreadPoolExecutor(max_workers=len(works)) as ex:
+        futs = {n: ex.submit(fn, spark) for n, fn in works.items()}
+    return futs
+
+
+def test_main_text_udf(rd_runs):
+    rd_runs["udf"].result()
+
+
+def test_crawl_text_mode_main(rd_runs):
+    rd_runs["crawl_main"].result()
