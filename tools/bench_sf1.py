@@ -38,6 +38,11 @@ QUERIES = [
     "text_pack_plan",
     "emb_cosine_topk",
     "emb_ivf_topk",
+    # round-6 per-row screening family: embarrassingly parallel by
+    # construction, so the 10x ratio should sit near the scan ratio —
+    # any higher reading means a regex/HOF term grew superlinear
+    "text_gopher_flags",
+    "text_screening",
 ]
 
 
