@@ -176,12 +176,38 @@ def _w_bucketed_prestaged(spark, tmp):
     assert "http://s.test/new.html" not in rows
 
 
+def _w_resume_exactly_once(spark, tmp):
+    """Kill/resume with redirects ON: the seen delta carries landing urls,
+    so the resumed crawl must neither refetch the landing page under its
+    own url nor lose any page — and must equal an unbroken run exactly."""
+    pages = spark.createDataFrame(pd.DataFrame(_site_rows()),
+                                  schema=_PAGES_SCHEMA)
+    ckpt = str(tmp / "ck")
+    base = dict(ordering="bfs", checkpoint_dir=ckpt)
+    Engine(spark, pages, None, CrawlConfig(max_rounds=2, **base)).run(
+        ["http://s.test/"])
+    res = Engine(spark, pages, None, CrawlConfig(max_rounds=10, **base)).run(
+        ["http://s.test/"], resume=True)
+    rows = res.fetched_log.collect()
+    urls = [r["url"] for r in rows]
+    assert sorted(set(urls)) == sorted(urls)  # exactly-once across resume
+    assert "http://s.test/new.html" not in urls  # landing url stays deduped
+    unbroken = Engine(
+        spark, pages, None, CrawlConfig(max_rounds=10, ordering="bfs")
+    ).run(["http://s.test/"])
+    a = sorted((r["url"], r["seq"], r["final_url"]) for r in rows)
+    b = sorted((r["url"], r["seq"], r["final_url"])
+               for r in unbroken.fetched_log.collect())
+    assert a == b  # resume == unbroken, final_url lineage included
+
+
 _WORKERS = {
     "resolve_chains": _w_resolve_chains,
     "crawl_follows": _w_crawl_follows,
     "parity_refetch": _w_crawl_parity_refetch,
     "warc_location": _w_warc_location_e2e,
     "bucketed_prestaged": _w_bucketed_prestaged,
+    "resume": _w_resume_exactly_once,
 }
 
 
@@ -215,3 +241,7 @@ def test_warc_location_header_e2e(redir_runs):
 
 def test_bucketed_table_prestages_redirects(redir_runs):
     redir_runs["bucketed_prestaged"].result()
+
+
+def test_redirect_resume_exactly_once(redir_runs):
+    redir_runs["resume"].result()
