@@ -142,15 +142,30 @@ def sniff_encoding(data: bytes, transport: str | None = None) -> str:
 
 def decode_html(data: bytes | bytearray | memoryview | str | None,
                 transport: str | None = None) -> str:
-    """Sniff + decode; never raises (replacement chars over task kills)."""
+    """Sniff + decode; never raises (replacement chars over task kills).
+
+    Hot-path shape: the overwhelmingly common case — no BOM, no transport
+    charset, no meta declaration, valid UTF-8 — performs exactly ONE
+    decode (the strict attempt IS the sniff's UTF-8 trial and its result
+    is returned directly), so the sniff costs a 1 KB prescan, not a
+    second pass over the payload."""
     if data is None:
         return ""
     if isinstance(data, str):
         return data
     raw = bytes(data)
-    enc = sniff_encoding(raw, transport)
-    if enc == "utf-8" and raw[:3] == b"\xef\xbb\xbf":
-        raw = raw[3:]  # the BOM is not content
-    elif enc in _UTF16_CODECS and raw[:2] in (b"\xff\xfe", b"\xfe\xff"):
-        raw = raw[2:]
-    return raw.decode(enc, errors="replace")
+    if raw[:3] == b"\xef\xbb\xbf":
+        return raw[3:].decode("utf-8", errors="replace")
+    if raw[:2] == b"\xff\xfe":
+        return raw[2:].decode("utf-16-le", errors="replace")
+    if raw[:2] == b"\xfe\xff":
+        return raw[2:].decode("utf-16-be", errors="replace")
+    enc = charset_from_content_type(transport) or _prescan_meta(
+        raw[:_SNIFF_WINDOW]
+    )
+    if enc:
+        return raw.decode(enc, errors="replace")
+    try:
+        return raw.decode("utf-8", errors="strict")
+    except UnicodeDecodeError:
+        return raw.decode("windows-1252", errors="replace")
