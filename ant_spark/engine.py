@@ -335,7 +335,12 @@ class Engine:
             pages_df = resolve_redirects(pages_df)
         spark.sql(f"DROP TABLE IF EXISTS {name}")
         (
-            pages_df.write.mode("overwrite")
+            # repartition on the bucket key: one write task per bucket —
+            # one file per bucket instead of up to tasks×buckets (r7,
+            # guide §6; this is the corpus write, so the file-count blowup
+            # here also cost every subsequent fetch-join scan)
+            pages_df.repartition(buckets, F.col("url"))
+            .write.mode("overwrite")
             .format("parquet")
             .bucketBy(buckets, "url")
             .sortBy("url")
@@ -368,6 +373,8 @@ class Engine:
                 "url",
                 F.col("priority").cast("double").alias("priority"),
             )
+            # one write task per bucket (see create_pages_table)
+            .repartition(buckets, F.col("url_hash"))
             .write.mode("overwrite")
             .format("parquet")
             .bucketBy(buckets, "url_hash")
@@ -530,8 +537,14 @@ class Engine:
         """Commit a seen delta: parquet dir per round, or an append into the
         url_hash-bucketed seen table (Iceberg bucketed-append analogue)."""
         if self._bucketed:
+            # repartition on the bucket key: the appended delta adds ONE
+            # file per bucket per round instead of one per (task, bucket) —
+            # the accumulated table otherwise grows toward rounds×tasks×
+            # buckets tiny files and the per-round seen scan pays for every
+            # one of them (r7, guide §6)
             w = (
-                delta.write.mode("overwrite" if r == 0 else "append")
+                delta.repartition(self.cfg.state_partitions, F.col("url_hash"))
+                .write.mode("overwrite" if r == 0 else "append")
                 .format("parquet")
                 .bucketBy(self.cfg.state_partitions, "url_hash")
                 .sortBy("url_hash")
@@ -557,7 +570,8 @@ class Engine:
         spark.sql(f"DROP TABLE IF EXISTS {self._seen_tbl}")
         self._seen_tbl_path = new_path
         (
-            df.write.mode("overwrite")
+            df.repartition(self.cfg.state_partitions, F.col("url_hash"))
+            .write.mode("overwrite")
             .format("parquet")
             .bucketBy(self.cfg.state_partitions, "url_hash")
             .sortBy("url_hash")
@@ -911,15 +925,16 @@ class Engine:
             # run anyway — the round schedules ZERO extra jobs for metrics.
             observe = cfg.metrics_mode == "observe"
             obs_rb = Observation() if observe else None
+            obs_rb_aggs: list = []
             if self._robots_is_empty():
                 # no robots anywhere ⇒ allow-all; skip the join + UDFs
                 rb = eligible.withColumn("crawl_delay", F.lit(None).cast("double"))
                 if observe:
-                    rb = rb.observe(
-                        obs_rb,
+                    obs_rb_aggs = [
                         F.count(F.lit(1)).alias("eligible"),
                         F.sum(F.lit(0)).alias("robots_denied"),
-                    )
+                    ]
+                    rb = rb.observe(obs_rb, *obs_rb_aggs)
                 rb = rb.persist()
                 allowed = rb
                 denied = rb.filter(F.lit(False))
@@ -928,13 +943,13 @@ class Engine:
                     eligible, self._robots_for_round(r), cfg.ua, path_of(F.col("url"))
                 )
                 if observe:
-                    rb = rb.observe(
-                        obs_rb,
+                    obs_rb_aggs = [
                         F.count(F.lit(1)).alias("eligible"),
                         F.sum(
                             F.when(~F.col("robots_allowed"), 1).otherwise(0)
                         ).alias("robots_denied"),
-                    )
+                    ]
+                    rb = rb.observe(obs_rb, *obs_rb_aggs)
                 rb = rb.persist()
                 allowed = rb.filter(F.col("robots_allowed")).drop("robots_allowed")
                 denied = rb.filter(~F.col("robots_allowed"))
@@ -997,22 +1012,31 @@ class Engine:
                     deferred = deferred.unionByName(deferred2.select(*frontier.columns))
             if cfg.pages_table is not None:
                 # stage the admitted frontier into a table bucketed like the
-                # pages corpus (a SHUFFLE-FREE write — bucketed writers sort
-                # by bucket id within each task; only the tiny frontier side
-                # is written). The staged read doubles as the round's
-                # materialization, so no .persist() needed.
+                # pages corpus; only the tiny frontier side is written. The
+                # explicit repartition on the bucket key aligns each write
+                # task with exactly ONE bucket (repartition's murmur3-pmod IS
+                # the bucket function): without it every input partition
+                # writes a file per bucket it touches — up to tasks×buckets
+                # tiny files per round (measured 1024 files / 7.1s vs 32
+                # files / 1.1s at sf1; r7, guide §6). One small-side shuffle
+                # buys a 6× cheaper write and a 32× cheaper staged read.
+                # The staged read doubles as the round's materialization, so
+                # no .persist() needed.
                 staged_path = os.path.join(
                     self._round_dir(root, r + 1), "admitted_staged"
                 )
+                _t_stage = time.time()
                 spark.sql(f"DROP TABLE IF EXISTS {self._adm_tbl}")
                 (
-                    admitted.write.mode("overwrite")
+                    admitted.repartition(cfg.fetch_buckets, F.col("url"))
+                    .write.mode("overwrite")
                     .format("parquet")
                     .bucketBy(cfg.fetch_buckets, "url")
                     .sortBy("url")
                     .option("path", staged_path)
                     .saveAsTable(self._adm_tbl)
                 )
+                _trace("stage:admitted_staged(write)", _t_stage)
                 admitted = spark.table(self._adm_tbl)
             elif not pol_off:
                 admitted = admitted.persist()
@@ -1079,6 +1103,7 @@ class Engine:
                 .drop("html", "_p_url", "_p_status", "ok_after_attempt")
             )
             obs_proc = Observation() if observe else None
+            obs_proc_aggs: list = []
             if observe:
                 _se = F.col("status_eff")
                 _temp = _se.isin(503, 504, 429)
@@ -1094,6 +1119,7 @@ class Engine:
                     obs_cols.append(
                         _n1(F.col("_p_final_url").isNotNull()).alias("redirected")
                     )
+                obs_proc_aggs = obs_cols
                 processed = processed.observe(obs_proc, *obs_cols)
             processed = processed.persist()
 
@@ -1178,15 +1204,21 @@ class Engine:
                 staged_path = os.path.join(
                     self._round_dir(root, r + 1), "links_staged"
                 )
+                _t_stage = time.time()
                 spark.sql(f"DROP TABLE IF EXISTS {self._links_tbl}")
                 (
+                    # repartition on the bucket key: one bucket per write
+                    # task — 32 files instead of up to 1024 (see the
+                    # admitted staging note above)
                     links.drop("raw_url")
+                    .repartition(cfg.state_partitions, F.col("url_hash"))
                     .write.mode("overwrite").format("parquet")
                     .bucketBy(cfg.state_partitions, "url_hash")
                     .sortBy("url_hash")
                     .option("path", staged_path)
                     .saveAsTable(self._links_tbl)
                 )
+                _trace("stage:links_staged(write incl. parse UDF)", _t_stage)
                 links = spark.table(self._links_tbl)
                 if pj_bucketed is not None:
                     # URL-level rank at corpus scale: both sides bucketed
@@ -1306,10 +1338,10 @@ class Engine:
                     .drop("_pj_hash", "_pj_url", "_pj_prio")
                 )
             obs_new = Observation() if observe else None
+            obs_new_aggs: list = []
             if observe:
-                new_rows = new_rows.observe(
-                    obs_new, F.count(F.lit(1)).alias("enqueued")
-                )
+                obs_new_aggs = [F.count(F.lit(1)).alias("enqueued")]
+                new_rows = new_rows.observe(obs_new, *obs_new_aggs)
             new_rows = new_rows.persist()
             if os.environ.get("ANT_SPARK_EXPLAIN_ROUND") == "1":
                 # audit hook: dump the full round plan (seq window + dedupe
@@ -1379,20 +1411,28 @@ class Engine:
             from concurrent.futures import ThreadPoolExecutor
 
             def _w_log():
+                t0 = time.time()
                 log_df.write.mode("overwrite").parquet(log_path)
                 if cfg.scrape_spec:
                     extracted_df.write.mode("overwrite").parquet(
                         os.path.join(rd, "extracted")
                     )
+                _trace("w:log", t0)
 
             def _w_frontier():
-                return self._write_state(
+                t0 = time.time()
+                out = self._write_state(
                     root, r + 1, "frontier", new_frontier,
                     n_parts=cfg.state_partitions,
                 )
+                _trace("w:frontier", t0)
+                return out
 
             def _w_seen():
-                return self._seen_write(root, r + 1, seen_delta)
+                t0 = time.time()
+                out = self._seen_write(root, r + 1, seen_delta)
+                _trace("w:seen", t0)
+                return out
 
             by_stage: dict[str, int] = {}
             if cfg.metrics_mode == "partition":
@@ -1446,11 +1486,31 @@ class Engine:
                     frontier2 = f_frontier.result()
                     f_seen.result()
                 # harvest the observations (all filled by the jobs above /
-                # the materialize pass; sum() over zero rows yields null → 0)
-                def _take(obs: Observation | None, extra: dict | None = None):
-                    vals = dict(obs.get) if obs is not None else {}
-                    if extra:
-                        vals.update(extra)
+                # the materialize pass; sum() over zero rows yields null → 0).
+                # Observation.get on a persisted subtree can intermittently
+                # fail finalization (Spark toPyRow assertion) under load; the
+                # counters drive frontier_count/next_seq, so a failed harvest
+                # must RECOUNT from the source DF (cached or cheap), never
+                # zero out — zeros would end the crawl a round early.
+                def _take(
+                    obs: Observation | None,
+                    src: DataFrame | None = None,
+                    aggs: list | None = None,
+                ):
+                    vals: dict = {}
+                    if obs is not None:
+                        try:
+                            vals = dict(obs.get)
+                        except Exception as exc:  # pragma: no cover - race
+                            import warnings
+
+                            warnings.warn(
+                                f"ant_spark: Observation harvest failed "
+                                f"({exc!r}); recounting stage metrics from "
+                                f"the cached source", stacklevel=2,
+                            )
+                            if src is not None and aggs:
+                                vals = src.agg(*aggs).collect()[0].asDict()
                     for stage, v in vals.items():
                         n = int(v) if v is not None else 0
                         if n == 0:
@@ -1459,11 +1519,14 @@ class Engine:
                         by_stage[stage] = by_stage.get(stage, 0) + n
                         metric_rows.append((r, -1, stage, n))
 
-                _take(obs_rb)
-                _take(obs_proc)
-                _take(obs_new)
-                _take(obs_waiting)
-                _take(obs_deferred)
+                _take(obs_rb, rb, obs_rb_aggs)
+                _take(obs_proc, processed, obs_proc_aggs)
+                _take(obs_new, new_rows, obs_new_aggs)
+                _take(obs_waiting, waiting, [F.count(F.lit(1)).alias("waiting")])
+                _take(
+                    obs_deferred, deferred,
+                    [F.count(F.lit(1)).alias("deferred")],
+                )
             if not self._bucketed:
                 seen_paths.append(os.path.join(rd, "seen_delta"))
             t = _trace("commit_writes+metrics(parallel)", t)

