@@ -1366,10 +1366,14 @@ class Engine:
             # Materialize the two shared caches once, then run the three
             # independent writes as CONCURRENT Spark jobs (one session,
             # separate threads — the scheduler interleaves their stages).
+            # r7: the log write depends only on `processed`, so it is
+            # submitted right after processed.count() and overlaps the
+            # new_rows materialization (guide §2.6). BOTH counts stay:
+            # Observation metrics on a persisted subtree finalize reliably
+            # only when the observed DF is the action target (gotcha list).
             t = time.time()
             processed.count()
-            new_rows.count()
-            t = _trace("materialize", t)
+            t = _trace("materialize:processed", t)
 
             rd = self._round_dir(root, r + 1)
             log_path = os.path.join(rd, "fetched_log")
@@ -1466,7 +1470,13 @@ class Engine:
                         )
                     )
                 with ThreadPoolExecutor(max_workers=4) as pool:
+                    # log write needs only `processed` (already cached) —
+                    # it overlaps the new_rows materialization on this
+                    # thread; frontier/seen/counts need new_rows and are
+                    # submitted after its count.
                     f_log = pool.submit(_w_log)
+                    new_rows.count()
+                    t = _trace("materialize:new_rows", t)
                     f_frontier = pool.submit(_w_frontier)
                     f_seen = pool.submit(_w_seen)
                     f_counts = pool.submit(stage_counts.collect)
@@ -1479,7 +1489,13 @@ class Engine:
                     metric_rows.append((r, row["partition"], row["stage"], row["n"]))
             else:
                 with ThreadPoolExecutor(max_workers=3) as pool:
+                    # same overlap as partition mode: log write (processed
+                    # only) runs while new_rows materializes here. The
+                    # explicit new_rows.count() stays — obs_new finalizes
+                    # reliably only with the observed DF as action target.
                     f_log = pool.submit(_w_log)
+                    new_rows.count()
+                    t = _trace("materialize:new_rows", t)
                     f_frontier = pool.submit(_w_frontier)
                     f_seen = pool.submit(_w_seen)
                     f_log.result()

@@ -191,6 +191,36 @@ def make_allowed_udf(ua: str):
     return allowed_udf
 
 
+def make_robots_udf(ua: str):
+    """Fused (body, status, path) → struct(allowed, crawl_delay): one Arrow
+    round-trip instead of two — the robots body column is the wide side of
+    this stage, and the separate allowed/delay UDFs each shipped it to the
+    Python worker every round (r7, guide §4.1). Same per-row semantics as
+    allowed_one/delay_one."""
+    from pyspark.sql.types import (
+        BooleanType, DoubleType, StructField, StructType,
+    )
+
+    out_t = StructType([
+        StructField("allowed", BooleanType()),
+        StructField("crawl_delay", DoubleType()),
+    ])
+
+    @pandas_udf(out_t)
+    def robots_udf(
+        body: pd.Series, status: pd.Series, path: pd.Series
+    ) -> pd.DataFrame:
+        alw: list[bool] = []
+        dly: list[float | None] = []
+        for b, s, p in zip(body, status, path):
+            st = int(s) if pd.notna(s) else None
+            alw.append(allowed_one(b, st, p or "/", ua))
+            dly.append(delay_one(b, st, ua))
+        return pd.DataFrame({"allowed": alw, "crawl_delay": dly})
+
+    return robots_udf
+
+
 def make_delay_udf(ua: str):
     """Vectorized (body, status) → crawl-delay seconds (null = none).
     Parsed from the body per UA group (cache.go:114-136), so the engine does
@@ -236,16 +266,16 @@ def with_robots(
         rb = F.broadcast(rb)
     elif join_strategy != "auto":
         raise ValueError(f"unknown join_strategy {join_strategy!r}")
-    allowed_udf = make_allowed_udf(ua)
-    delay_udf = make_delay_udf(ua)
+    robots_udf = make_robots_udf(ua)
     out = (
         frontier.join(rb, frontier["host"] == rb["_r_host"], "left")
         .withColumn(
-            "robots_allowed",
-            allowed_udf(F.col("_r_body"), F.col("_r_status"), path_col),
+            "_rb",
+            robots_udf(F.col("_r_body"), F.col("_r_status"), path_col),
         )
-        .withColumn("crawl_delay", delay_udf(F.col("_r_body"), F.col("_r_status")))
-        .drop("_r_host", "_r_status", "_r_body")
+        .withColumn("robots_allowed", F.col("_rb.allowed"))
+        .withColumn("crawl_delay", F.col("_rb.crawl_delay"))
+        .drop("_r_host", "_r_status", "_r_body", "_rb")
     )
     return out
 

@@ -52,6 +52,29 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def _py_norm(vec: list[float]) -> float:
+    """Driver-side norm of a literal vector with EXACTLY the accumulation
+    order of ``norm`` (left-to-right acc += x*x, then sqrt): Python floats
+    are IEEE doubles and Java's Math.sqrt is correctly rounded, so the
+    result is bit-identical to evaluating ``norm(lit_array)`` per row —
+    which Catalyst does NOT constant-fold (higher-order functions are
+    non-foldable), i.e. without this every row paid the constant norm."""
+    import math
+
+    acc = 0.0
+    for x in vec:
+        acc += float(x) * float(x)
+    return math.sqrt(acc)
+
+
+def cosine_pre(a: Column, b: Column, na: Column, nb: Column) -> Column:
+    """cosine with PRE-COMPUTED norms: dot/(na*nb) — same operations in the
+    same order as ``cosine`` (bit-identical), but the norms are evaluated
+    once per ROW (projection) instead of once per candidate PAIR (r7: the
+    bucket/cross joins paid 2 full-vector norm aggregates per pair)."""
+    return dot(a, b) / (na * nb)
+
+
 def brute_force_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -65,15 +88,24 @@ def brute_force_topk(
     full precision; ties break on neighbor_id for determinism.
     """
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qv"),
+        norm(F.col(vec_col)).alias("_qn"),
     )
     c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_cv"),
+        norm(F.col(vec_col)).alias("_cn"),
     )
     scored = (
         q.crossJoin(c)
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("_sim", cosine(F.col("_qv"), F.col("_cv")))
+        .withColumn(
+            "_sim",
+            cosine_pre(
+                F.col("_qv"), F.col("_cv"), F.col("_qn"), F.col("_cn")
+            ),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("_sim").desc(), F.col("neighbor_id")
@@ -123,17 +155,23 @@ def lsh_topk(
     replaces the cross join — at 10^10 vectors the corpus side is written
     bucketed by ``bucket`` so the probe is storage-partitioned.
     """
-    sig = lambda df, idn, vn: df.select(
+    sig = lambda df, idn, vn, nn: df.select(
         F.col(id_col).alias(idn),
         F.col(vec_col).alias(vn),
+        norm(F.col(vec_col)).alias(nn),
         lsh_signature(F.col(vec_col), planes).alias("bucket"),
     )
-    q = sig(queries, "query_id", "_qv")
-    c = sig(corpus, "neighbor_id", "_cv")
+    q = sig(queries, "query_id", "_qv", "_qn")
+    c = sig(corpus, "neighbor_id", "_cv", "_cn")
     scored = (
         q.join(c, "bucket")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("_sim", cosine(F.col("_qv"), F.col("_cv")))
+        .withColumn(
+            "_sim",
+            cosine_pre(
+                F.col("_qv"), F.col("_cv"), F.col("_qn"), F.col("_cn")
+            ),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("_sim").desc(), F.col("neighbor_id")
@@ -180,12 +218,25 @@ def lsh_topk_tables(
         p = q.join(c, "bucket").select("query_id", "neighbor_id")
         cand = p if cand is None else cand.unionByName(p)
     cand = cand.filter(F.col("query_id") != F.col("neighbor_id")).distinct()
-    qv = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"))
-    cv = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"))
+    qv = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qv"),
+        norm(F.col(vec_col)).alias("_qn"),
+    )
+    cv = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_cv"),
+        norm(F.col(vec_col)).alias("_cn"),
+    )
     scored = (
         cand.join(qv, "query_id")
         .join(cv, "neighbor_id")
-        .withColumn("_sim", cosine(F.col("_qv"), F.col("_cv")))
+        .withColumn(
+            "_sim",
+            cosine_pre(
+                F.col("_qv"), F.col("_cv"), F.col("_qn"), F.col("_cn")
+            ),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("_sim").desc(), F.col("neighbor_id")
@@ -218,18 +269,26 @@ def cosine_near_dup_pairs(
     c = corpus.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
+        norm(F.col(vec_col)).alias("_n"),
         lsh_signature(F.col(vec_col), planes).alias("bucket"),
     )
     a = c.select(
-        F.col("id").alias("doc_a"), F.col("v").alias("_va"), "bucket"
+        F.col("id").alias("doc_a"), F.col("v").alias("_va"),
+        F.col("_n").alias("_na"), "bucket",
     )
     b = c.select(
-        F.col("id").alias("doc_b"), F.col("v").alias("_vb"), "bucket"
+        F.col("id").alias("doc_b"), F.col("v").alias("_vb"),
+        F.col("_n").alias("_nb"), "bucket",
     )
     return (
         a.join(b, "bucket")
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .withColumn("_sim", cosine(F.col("_va"), F.col("_vb")))
+        .withColumn(
+            "_sim",
+            cosine_pre(
+                F.col("_va"), F.col("_vb"), F.col("_na"), F.col("_nb")
+            ),
+        )
         .filter(F.col("_sim") >= threshold)
         .select(
             "doc_a", "doc_b", F.round(F.col("_sim"), 4).alias("cos_sim")
@@ -261,31 +320,46 @@ def ivf_topk(
     cent_rows = [(i, [float(x) for x in c]) for i, c in enumerate(centroids)]
     cents = spark.createDataFrame(cent_rows, "cell int, cvec array<double>")
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qv"),
+        norm(F.col(vec_col)).alias("_qn"),
     )
     # probe selection: Q × n_cells tiny cross join (the centroid dim is
-    # driver-known small — broadcast), rank cells per query
+    # driver-known small — broadcast), rank cells per query; centroid norms
+    # ride as a broadcast column (once per centroid, not per pair)
+    cents = cents.withColumn("_cvn", norm(F.col("cvec")))
     wq = Window.partitionBy("query_id").orderBy(
         F.col("_csim").desc(), F.col("cell")
     )
     probes = (
         q.crossJoin(F.broadcast(cents))
-        .withColumn("_csim", cosine(F.col("_qv"), F.col("cvec")))
+        .withColumn(
+            "_csim",
+            cosine_pre(
+                F.col("_qv"), F.col("cvec"), F.col("_qn"), F.col("_cvn")
+            ),
+        )
         .withColumn("_crk", F.row_number().over(wq))
         .filter(F.col("_crk") <= nprobe)
-        .select("query_id", "_qv", "cell")
+        .select("query_id", "_qv", "_qn", "cell")
     )
     # ONE corpus scan: ivf_assign carries the vector through (keep_vec), so
     # the probe path needs no second scan + id-keyed shuffle to recover it
     # (round-3 verdict nit). At 10^10 vectors, read the cell-partitioned
     # table written from this same projection instead.
     c = ivf_assign(corpus, centroids, id_col, vec_col, keep_vec=True).select(
-        F.col("id").alias("neighbor_id"), "cell", F.col("v").alias("_cv")
+        F.col("id").alias("neighbor_id"), "cell", F.col("v").alias("_cv"),
+        norm(F.col("v")).alias("_cn"),
     )
     scored = (
         probes.join(c, "cell")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("_sim", cosine(F.col("_qv"), F.col("_cv")))
+        .withColumn(
+            "_sim",
+            cosine_pre(
+                F.col("_qv"), F.col("_cv"), F.col("_qn"), F.col("_cn")
+            ),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("_sim").desc(), F.col("neighbor_id")
@@ -385,11 +459,21 @@ def ivf_assign(
     tools/ann_recall.py). array_position returns the FIRST index of the
     max, preserving the first-wins tie semantics of the oracle's CASE."""
     out = corpus.select(
-        F.col(id_col).alias("id"), F.col(vec_col).alias("v")
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
+        norm(F.col(vec_col)).alias("_vn"),
     )
+    # centroid norms are constants, but norm(lit_array) is a higher-order
+    # function Catalyst cannot constant-fold — every row paid n_centroids
+    # constant norm aggregates. _py_norm reproduces the accumulation
+    # bit-for-bit on the driver; the row norm is hoisted to one column.
     sims = F.array(
         *[
-            cosine(F.col("v"), F.array(*[F.lit(x) for x in cvec]))
+            cosine_pre(
+                F.col("v"),
+                F.array(*[F.lit(x) for x in cvec]),
+                F.col("_vn"),
+                F.lit(_py_norm(cvec)),
+            )
             for cvec in centroids
         ]
     )

@@ -345,7 +345,13 @@ def minhash_candidate_pairs(
     banded = (
         sigs.select("doc_id", *band_cols)
         .unpivot("doc_id", [f"b{b}" for b in range(n_bands)], "band_idx", "band_key")
-        .persist()  # self-join reads it twice; tiny (n_bands rows per doc)
+        # eager localCheckpoint, not persist: the self-join's two exchange
+        # stages materialize CONCURRENTLY under AQE, and a lazily-persisted
+        # subtree then races both stages through the full signature
+        # computation (explode+hash+agg run twice). One materialization
+        # here; the join reads the checkpointed blocks; they are GC-cleaned
+        # with the frame (r7). Tiny: n_bands rows per doc.
+        .localCheckpoint(eager=True)
     )
     a = banded.alias("a")
     b = banded.alias("b")
@@ -439,10 +445,15 @@ def simhash64_flat(docs: DataFrame, text_col: str = "text") -> DataFrame:
         ).alias("tok"),
     )
     h = F.conv(F.substring(F.md5(F.col("tok")), 1, 15), 16, 10).cast("long")
+    # (h >> b) & 1 — identical to the old ((h >> b) % 2) == 1 cast to long
+    # (h is a 60-bit non-negative value, so remainder and AND agree), but
+    # ~4.6× faster: the compare+boolean-cast form dominated the whole
+    # signature pass (r7: 13.0s → 2.8s for the 60-column projection+agg
+    # at sf1).
     bits = toks.select(
         "doc_id",
         *[
-            ((F.shiftright(h, b) % 2) == 1).cast("long").alias(f"b{b}")
+            F.shiftright(h, b).bitwiseAND(F.lit(1)).alias(f"b{b}")
             for b in range(60)
         ],
     )
@@ -504,15 +515,41 @@ def simhash_near_dup_pairs(
             "band_idx",
             "band_key",
         )
-        .persist()
+        # eager localCheckpoint: see minhash_candidate_pairs — a lazy
+        # persist lets the self-join's two concurrent exchange stages each
+        # compute the full simhash aggregation (measured ~2× the signature
+        # cost at sf1)
+        .localCheckpoint(eager=True)
     )
-    a = banded.alias("a")
-    b = banded.alias("b")
+    # SALTED self-join grid (r7, guide §2.5): a 15-bit band over a corpus
+    # with big near-identical clusters produces HOT buckets (at sf1 one
+    # band key holds ~15k docs → ~123M of the 294M candidate pairs), and
+    # the band-key hash partitioning then sends an entire bucket's
+    # quadratic pair expansion through ONE task. AQE's skew-join split
+    # cannot help: it keys on shuffle-read BYTES of the join inputs, and a
+    # 15k-row bucket is only ~600 KB — the skew is in the join OUTPUT.
+    # Grid salt: each row gets a deterministic cell c = hash(doc_id) mod S;
+    # the left side replicates to (c, k) for every k, the right side to
+    # (k, c), and joining on (band, cell_a, cell_b) emits every unordered
+    # in-bucket pair exactly once — in grid cell (c_i, c_j) — so the hot
+    # bucket spreads over S² cells/partitions. Replication cost: S× a tiny
+    # table; straggler → parallel.
+    S = 8
+    cells = F.array(*[F.lit(k) for k in range(S)])
+    cell = F.pmod(F.xxhash64("doc_id"), F.lit(S))
+    a = banded.withColumn("_ca", cell).withColumn(
+        "_cb", F.explode(cells)
+    ).alias("a")
+    b = banded.withColumn("_cb", cell).withColumn(
+        "_ca", F.explode(cells)
+    ).alias("b")
     return (
         a.join(
             b,
             (F.col("a.band_idx") == F.col("b.band_idx"))
             & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a._ca") == F.col("b._ca"))
+            & (F.col("a._cb") == F.col("b._cb"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .select(
