@@ -35,7 +35,42 @@ _TABLES = [
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    """Load an oracle table, restoring scan parallelism when the file
+    layout starves it (guide §2.5 "input skew: one huge unsplittable
+    file … repartition immediately after the read").
+
+    The test tables are written as a SINGLE parquet row group per file
+    (events/documents/embeddings at every sf), and a row group is the
+    parquet read unit — so every scan stage, which is where ALL the
+    per-row expression work of the text/graph operators runs (shingling,
+    hashing, regex counts: everything below the first exchange), executed
+    as ONE task regardless of cores. The repartition is a cheap shuffle of
+    the raw rows (the tables are MBs) that fans the expensive projections
+    out to every core. Scale-adaptive, not a local[32] constant: it fires
+    only when the scan yields fewer splits than the cluster's default
+    parallelism — a corpus with healthy file/row-group sizing (any real
+    100 TB table) keeps its native partitioning and pays nothing."""
+    path = f"{sf_dir}/{name}.parquet"
+    df = spark.read.parquet(path)
+    par = spark.sparkContext.defaultParallelism
+    rg = _T_ROW_GROUPS.get(path)
+    if rg is None:
+        try:
+            import pyarrow.parquet as pq
+
+            rg = pq.ParquetFile(path).metadata.num_row_groups
+        except Exception:
+            # directory-style dataset / unreadable footer: assume a healthy
+            # multi-file layout and leave the native partitioning alone
+            rg = 1 << 30
+        _T_ROW_GROUPS[path] = rg
+    if rg < par:
+        df = df.repartition(par)
+    return df
+
+
+# per-path row-group memo: one footer read per table per process
+_T_ROW_GROUPS: dict[str, int] = {}
 
 
 # ---------------------------------------------------------------------------
@@ -1302,7 +1337,7 @@ def _q_gopher_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the DuckDB oracle is bit-exact (no float division on a boundary)."""
     from ant_spark.operators.textops import gopher_quality_flags
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _t(spark, sf_dir, "documents")
     return (
         docs.select("doc_id", gopher_quality_flags(F.col("text")).alias("g"))
         .select("doc_id", "g.*")

@@ -38,6 +38,11 @@ from pyspark.sql.types import StringType
 # Go net/url encodePath: unreserved + "$&+,/:;=@" stay literal in paths;
 # everything else (incl. "!'()*?") is %XX-escaped, uppercase hex.
 _PATH_SAFE = "$&+,/:;=@"
+# control chars Go's url parser rejects — one compiled-regex scan instead of
+# a per-character Python loop (r7; the loop was ~1/3 of normalize_url)
+import re as _re
+
+_CTRL_RE = _re.compile(r"[\x00-\x1f\x7f]")
 
 _HEX = set("0123456789abcdefABCDEF")
 
@@ -82,10 +87,8 @@ def normalize_url(rawurl: str) -> str:
     """Normalize one URL; raises ValueError on inputs Go's parser rejects."""
     if rawurl is None:
         raise ValueError("null url")
-    for ch in rawurl:
-        c = ord(ch)
-        if c < 0x20 or c == 0x7F:
-            raise ValueError(f"control character in url: {rawurl!r}")
+    if _CTRL_RE.search(rawurl) is not None:
+        raise ValueError(f"control character in url: {rawurl!r}")
     try:
         sp = urlsplit(rawurl)
     except ValueError as e:  # e.g. invalid IPv6 literal
@@ -138,11 +141,22 @@ def normalize_or_none(rawurl: str | None) -> str | None:
         return None
 
 
+# pure function of the input string → safe to memoize; link streams repeat
+# the same URLs heavily (fanout re-discovers popular pages every round), so
+# a worker-process-wide cache short-circuits most normalizations (r7)
+from functools import lru_cache as _lru_cache
+
+
+@_lru_cache(maxsize=1 << 16)
+def _normalize_cached(rawurl: str | None) -> str | None:
+    return normalize_or_none(rawurl)
+
+
 @pandas_udf(StringType())
 def normalize_udf(urls: pd.Series) -> pd.Series:
     """Vectorized normalization; invalid/unparseable URLs become null
     (callers drop nulls — matching page.go:122-125 skip semantics)."""
-    return urls.map(normalize_or_none)
+    return urls.map(_normalize_cached)
 
 
 def is_queueable(url_col: Column) -> Column:
