@@ -34,7 +34,9 @@ _TABLES = [
 ]
 
 
-def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def _t(
+    spark: SparkSession, sf_dir: str, name: str, fan_out: bool | None = None
+) -> DataFrame:
     """Load an oracle table, restoring scan parallelism when the file
     layout starves it (guide §2.5 "input skew: one huge unsplittable
     file … repartition immediately after the read").
@@ -52,6 +54,16 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     100 TB table) keeps its native partitioning and pays nothing."""
     path = f"{sf_dir}/{name}.parquet"
     df = spark.read.parquet(path)
+    if fan_out is None:
+        # default policy: the payload tables (documents' text, embeddings'
+        # vectors) always carry heavy per-row operator work below the first
+        # exchange — fan them out; the scalar fact tables (events, TPC-H)
+        # mostly feed windows/groupBys that re-exchange anyway, so the
+        # repartition would be pure cost there. Callers with heavy per-row
+        # work over a fact table (e.g. host_rank's URL rollup) opt in.
+        fan_out = name in ("documents", "embeddings")
+    if not fan_out:
+        return df
     par = spark.sparkContext.defaultParallelism
     rg = _T_ROW_GROUPS.get(path)
     if rg is None:
@@ -65,7 +77,14 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             rg = 1 << 30
         _T_ROW_GROUPS[path] = rg
     if rg < par:
-        df = df.repartition(par)
+        # hash-repartition on ALL columns, not round-robin: a keyless
+        # repartition(n) first pays a local sort of its input (
+        # sortBeforeRepartition, needed so retried tasks reproduce the
+        # row-to-partition assignment — guide §2.5); a deterministic
+        # hash of the row needs no such sort and measured ~2× cheaper
+        # (events: 2.6s → 1.0s). Near-uniform spread verified
+        # (~31k ± 0.5% rows/partition at sf1).
+        df = df.repartition(par, *[F.col(c) for c in df.columns])
     return df
 
 
@@ -858,7 +877,13 @@ def _q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("user_id") % 40).alias("src"),
         (F.col("event_id") % 40).alias("dst"),
     ).filter(F.col("src") != F.col("dst"))
-    return pagerank(edges, n_iter=3).select("id", "rank_scaled")
+    # materialize_edges=False: these edges are a stateless modulo
+    # projection of the (already scan-parallel) events table — recomputing
+    # them inside the one ReuseExchange'd plan beats paying a 1M-row
+    # checkpoint copy (r7 A/B)
+    return pagerank(edges, n_iter=3, materialize_edges=False).select(
+        "id", "rank_scaled"
+    )
 
 
 def _q_host_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -869,7 +894,9 @@ def _q_host_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     rank_priority_fn's driver map (~10^7 hosts), unlike URL-level ranks."""
     from ant_spark.operators.graphops import host_edges, pagerank
 
-    ev = _t(spark, sf_dir, "events")
+    # fan_out: the per-row URL construction + host_of rollup IS the heavy
+    # scan work of this query — worth the repartition (r7)
+    ev = _t(spark, sf_dir, "events", fan_out=True)
     url_edges = ev.select(
         F.concat(
             F.lit("http://h"), (F.col("user_id") % 7).cast("string"),
