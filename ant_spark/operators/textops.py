@@ -543,6 +543,22 @@ def simhash_near_dup_pairs(
     b = banded.withColumn("_cb", cell).withColumn(
         "_ca", F.explode(cells)
     ).alias("b")
+    # FIRST-AGREEING-BAND dedup (r7): a pair that agrees in m bands used to
+    # reach the final distinct m times (measured 63M candidate rows for
+    # 27.4M unique pairs at sf1 — a 2.3× shuffle). Both simhashes ride the
+    # join output, so each row can check whether ITS band is the pair's
+    # first agreeing band and drop itself otherwise — every surviving pair
+    # is emitted exactly once (the grid cell is unique per pair, the band
+    # now too), making the distinct a no-op that we remove outright.
+    def _band(s: Column, bi: int) -> Column:
+        return F.shiftrightunsigned(s, width * bi).bitwiseAND(F.lit(mask))
+
+    sa, sb = F.col("a.simhash"), F.col("b.simhash")
+    first_agree = F.lit(None).cast("string")
+    for bi in range(n_bands - 1, -1, -1):
+        first_agree = F.when(
+            _band(sa, bi) == _band(sb, bi), F.lit(f"k{bi}")
+        ).otherwise(first_agree)
     return (
         a.join(
             b,
@@ -552,13 +568,13 @@ def simhash_near_dup_pairs(
             & (F.col("a._cb") == F.col("b._cb"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
+        .filter(F.col("a.band_idx") == first_agree)
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
             hamming64(F.col("a.simhash"), F.col("b.simhash")).alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
-        .distinct()
     )
 
 
